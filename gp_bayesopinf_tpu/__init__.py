@@ -1,0 +1,71 @@
+"""gp_bayesopinf_tpu: a TPU-native (JAX/XLA/Pallas) framework for
+GP-BayesOpInf — Bayesian learning of low-dimensional representations of
+time-dependent nonlinear systems with Gaussian processes.
+
+Capabilities mirror the reference research code ``Anthony50102/GP-BayesOpInf``
+(companion code to arXiv:2408.03455) but the design is TPU-first:
+
+* per-mode GP hyperparameter fits are one batched, jitted multi-restart
+  optimization (``gp.fit``) instead of serial sklearn L-BFGS-B loops
+  (reference ``codebase/gpkernels.py:330-348`` + ``PDEs/step2_fitgps.py``),
+* GP state/derivative estimation and the weight matrix ``sqrtW`` are batched
+  Cholesky/eigh solves over all modes at once (``gp.estimates``; reference
+  ``codebase/gpkernels.py:445-504``),
+* the weighted, regularized Bayesian least-squares regression is a
+  batched-SVD spectral solve reusable across every regularization candidate
+  (``solve.lstsq``; reference ``codebase/wlstsq.py``),
+* posterior ensembles are vmapped fixed-step Runge-Kutta integrations with
+  instability *masks* instead of serial ``scipy.solve_ivp`` loops with
+  Python ``continue`` (``bayes.posterior``; reference ``codebase/bayes.py``),
+* the regularization auto-search evaluates the whole log-grid as one batched
+  computation (``bayes.regsearch``; reference ``*/step3_estimate.py``),
+* multi-device scaling uses ``jax.sharding`` meshes + ``shard_map`` with XLA
+  collectives (``parallel``), not process-level parallelism.
+
+Precision policy: the GP linear algebra requires float64 for SPD robustness
+(see reference ``codebase/gpkernels.py:496-504``); this package enables
+JAX x64 on import unless ``GPBOI_NO_X64=1`` is set. Hot ensemble paths may
+downcast explicitly where safe.
+"""
+
+import os as _os
+
+import jax as _jax
+
+if _os.environ.get("GPBOI_NO_X64", "0") != "1":
+    _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU f64 linalg (eigh/svd) kernels compile in
+# O(minutes) but run in O(ms); caching compiled executables across processes
+# makes every run after the first fast. Opt out with GPBOI_NO_COMPILE_CACHE=1.
+if _os.environ.get("GPBOI_NO_COMPILE_CACHE", "0") != "1":
+    _cache_dir = _os.environ.get(
+        "GPBOI_COMPILE_CACHE_DIR",
+        _os.path.expanduser("~/.cache/gp_bayesopinf_tpu/jax_cache"),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+__version__ = "0.1.0"
+
+from . import ops  # noqa: E402
+from . import gp  # noqa: E402
+from . import rom  # noqa: E402
+from . import solve  # noqa: E402
+from . import bayes  # noqa: E402
+from . import models  # noqa: E402
+from . import parallel  # noqa: E402
+from . import utils  # noqa: E402
+
+__all__ = [
+    "ops",
+    "gp",
+    "rom",
+    "solve",
+    "bayes",
+    "models",
+    "parallel",
+    "utils",
+    "__version__",
+]

@@ -1,0 +1,14 @@
+"""bayes: Gaussian posteriors over ROM operators / ODE parameters,
+vmapped posterior-ensemble prediction, and the regularization auto-search.
+"""
+
+from .posterior import OperatorPosterior, BayesianROM, BayesianODE
+from .regsearch import auto_regularize, RegSearchResult
+
+__all__ = [
+    "OperatorPosterior",
+    "BayesianROM",
+    "BayesianODE",
+    "auto_regularize",
+    "RegSearchResult",
+]

@@ -1,0 +1,185 @@
+"""Regularization auto-search: batched log-grid + bounded 1-D refinement.
+
+Behavioral spec: reference ``*/step3_estimate.py`` — for each candidate
+lambda on a log grid (81 points for PDEs, 22 for ODEs), draw 20 posterior
+samples, integrate each over BOTH the prediction and the estimation time
+domains, hard-reject the candidate (objective ceiling 1e12) if ANY draw is
+unstable or the covariance is not SPD, otherwise score by the relative
+error of the draw-mean against the GP state estimates; warn and widen
+bounds when the grid best is an endpoint; then refine with a bounded 1-D
+scalar minimization between the neighbors; fall back to the grid best if
+the refinement fails.
+
+TPU-native shape: all G x ndraws x L-trajectory x 2-domain integrations for
+the WHOLE GRID run as one jitted, vmapped computation; the refinement calls
+the same jitted single-candidate objective from a host-side bounded search
+(the scipy ``minimize_scalar(method="bounded")`` driver — control flow on
+host, numerics on device — preserving the reference's search semantics
+exactly).
+"""
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.optimize
+
+from ..solve.lstsq import WeightedLSTSQ
+from ..solve.ivp import stability_mask
+
+MAXOPTVAL = 1e12  # Objective ceiling for rejected candidates.
+DEFAULT_GRID_PDE = np.logspace(-16, 4, 81)
+DEFAULT_GRID_ODE = np.logspace(-16, 5, 22)
+
+
+class RegSearchResult(NamedTuple):
+    regularizer: float  # chosen lambda
+    grid_best: float  # best grid point
+    grid_errors: np.ndarray  # (G,) objective per grid candidate
+    refined: bool  # True if the 1-D optimization succeeded
+
+
+def _make_objective(
+    lstsq: WeightedLSTSQ,
+    predict_fns: Sequence[Callable],
+    initial_conditions: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    t_est: jnp.ndarray,
+    snapshots_est: jnp.ndarray,
+    ndraws: int,
+):
+    """Build the jitted per-candidate objective.
+
+    Parameters
+    ----------
+    predict_fns : length-L sequence of callables
+        ``predict_fns[l](operators, q0, t_eval) -> (r, k)`` — the ROM (or
+        parametric ODE) integrated for one trajectory's inputs. Static
+        Python loop over L (L <= 5 in the reference workloads).
+    initial_conditions : (L, r) array of per-trajectory ICs.
+    snapshots_est : (L, r, m') GP state estimates per trajectory.
+    """
+    L = len(predict_fns)
+    shifts = jnp.mean(snapshots_est, axis=2)  # (L, r)
+    limits = 5.0 * jnp.max(
+        jnp.abs(snapshots_est - shifts[:, :, None]), axis=2
+    )  # (L, r)
+    norms = jnp.sqrt(jnp.sum(snapshots_est**2, axis=(1, 2)))  # (L,)
+
+    def objective(lam, key):
+        """Objective for a single regularization candidate."""
+        spd = lstsq.posterior_spd(lam)
+        ohats = lstsq.sample(lam, key, ndraws)  # (ndraws, r, d)
+
+        total_err = 0.0
+        all_stable = spd
+        for ell in range(L):
+            q0 = initial_conditions[ell]
+            sol_pred = jax.vmap(
+                lambda O: predict_fns[ell](O, q0, t_pred)
+            )(ohats)
+            sol_est = jax.vmap(
+                lambda O: predict_fns[ell](O, q0, t_est)
+            )(ohats)
+            stable = jnp.all(
+                stability_mask(sol_pred, shifts[ell], limits[ell])
+            ) & jnp.all(stability_mask(sol_est, shifts[ell], limits[ell]))
+            all_stable = all_stable & stable
+
+            mean_sol = jnp.mean(sol_est, axis=0)  # (r, m')
+            err = (
+                jnp.sqrt(jnp.sum((mean_sol - snapshots_est[ell]) ** 2))
+                / norms[ell]
+            )
+            total_err = total_err + err
+
+        err = total_err / L
+        err = jnp.where(jnp.isfinite(err), err, MAXOPTVAL)
+        return jnp.where(all_stable, err, MAXOPTVAL)
+
+    return objective
+
+
+def auto_regularize(
+    lstsq: WeightedLSTSQ,
+    predict_fns: Sequence[Callable],
+    initial_conditions,
+    t_pred,
+    t_est,
+    snapshots_est,
+    key,
+    grid: Optional[np.ndarray] = None,
+    ndraws: int = 20,
+    verbose: bool = True,
+) -> RegSearchResult:
+    """Select the regularization hyperparameter.
+
+    See ``_make_objective`` for the trajectory-batched arguments. For the
+    single-trajectory pipelines pass length-1 sequences / leading axes.
+    """
+    grid = DEFAULT_GRID_PDE if grid is None else np.sort(np.atleast_1d(grid))
+    initial_conditions = jnp.atleast_2d(jnp.asarray(initial_conditions))
+    snapshots_est = jnp.asarray(snapshots_est)
+    if snapshots_est.ndim == 2:
+        snapshots_est = snapshots_est[None]
+
+    objective = _make_objective(
+        lstsq,
+        predict_fns,
+        initial_conditions,
+        jnp.asarray(t_pred),
+        jnp.asarray(t_est),
+        snapshots_est,
+        ndraws,
+    )
+    batched = jax.jit(jax.vmap(objective))
+    single = jax.jit(objective)
+
+    if len(grid) == 1:
+        best_reg = float(grid[0])
+        grid_errors = np.array([np.nan])
+        bounds = [best_reg / 10.0, best_reg * 10.0]
+    else:
+        keys = jax.random.split(key, len(grid))
+        grid_errors = np.asarray(
+            batched(jnp.asarray(grid, dtype=jnp.result_type(float)), keys)
+        )
+        if verbose:
+            for lam, e in zip(grid, grid_errors):
+                tag = "UNSTABLE" if e >= MAXOPTVAL else f"{e:.2%} error"
+                print(f"reg {lam:.4e}: {tag}")
+        if np.all(grid_errors >= MAXOPTVAL):
+            raise ValueError("grid search failed: every candidate unstable")
+        ibest = int(np.argmin(grid_errors))
+        best_reg = float(grid[ibest])
+        if ibest == 0:
+            print("WARNING: extend regularizer_grid to the left!")
+            bounds = [best_reg / 100.0, float(grid[1])]
+        elif ibest == len(grid) - 1:
+            print("WARNING: extend regularizer_grid to the right!")
+            bounds = [float(grid[-2]), best_reg * 100.0]
+        else:
+            bounds = [float(grid[ibest - 1]), float(grid[ibest + 1])]
+        if verbose:
+            print(f"Best regularization via gridsearch: {best_reg:.4e}")
+
+    # Bounded 1-D refinement in log10 space (host-driven, device-evaluated).
+    refine_key = jax.random.fold_in(key, 0x5EED)
+
+    def host_objective(logreg):
+        return float(single(10.0**logreg, refine_key))
+
+    opt = scipy.optimize.minimize_scalar(
+        host_objective, method="bounded", bounds=np.log10(bounds)
+    )
+    if opt.success and opt.fun < MAXOPTVAL:
+        chosen, refined = float(10.0**opt.x), True
+        if verbose:
+            print(f"Best regularization via optimization: {chosen:.4e}")
+    else:
+        chosen, refined = best_reg, False
+        if verbose:
+            print("Optimization failed, falling back on gridsearch")
+
+    return RegSearchResult(chosen, best_reg, grid_errors, refined)

@@ -1,0 +1,12 @@
+"""solve: device-resident ODE integration and weighted least squares."""
+
+from .ivp import rk4_solve, dirk2_solve, stability_mask
+from .lstsq import WeightedLSTSQ, weighted_lstsq_fit
+
+__all__ = [
+    "rk4_solve",
+    "dirk2_solve",
+    "stability_mask",
+    "WeightedLSTSQ",
+    "weighted_lstsq_fit",
+]

@@ -1,0 +1,176 @@
+"""Fixed-step, scan-based initial-value-problem solvers.
+
+The reference integrates every truth model, every posterior draw, and every
+regularization candidate with serial ``scipy.integrate.solve_ivp`` calls
+(``models/ode_models.py:78-126``, ``codebase/bayes.py:337-361``,
+``*/step3_estimate.py``). On TPU the equivalent capability is a fixed-step
+integrator expressed as ``lax.scan`` over the output grid with a constant
+number of substeps per output interval: static shapes, jit-compilable, and
+trivially ``vmap``-able over ensembles of operator draws.
+
+Instability (scipy's early termination / blow-up) is handled by *masking*:
+an unstable trajectory runs to completion producing inf/NaN and
+``stability_mask`` marks it invalid, replicating the reference's rejection
+semantics (``PDEs/main.py:135-141``) without data-dependent control flow.
+
+Two schemes:
+
+* ``rk4_solve`` — classical RK4, for non-stiff systems (reference uses
+  RK45 for SEIRD / Euler / quadratic ROMs).
+* ``dirk2_solve`` — 2-stage L-stable SDIRK (Alexander's method,
+  gamma = 1 - sqrt(2)/2) with fixed Newton iterations, for stiff systems
+  (reference uses BDF for the heat equation,
+  ``PDEsMulti/config_heat.py:96``, ``models/pde_models.py:776-840``).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _clip_state(q: jnp.ndarray) -> jnp.ndarray:
+    """Clamp diverging trajectories to a large sentinel.
+
+    Keeps unstable ensemble members finite-ish long enough to be cheap and
+    leaves them far outside any stability envelope so masking catches them.
+    NaNs are left alone (they also fail the mask).
+    """
+    return jnp.clip(q, -1e18, 1e18)
+
+
+def rk4_solve(
+    rhs: Callable,
+    q0: jnp.ndarray,
+    t_eval: jnp.ndarray,
+    substeps: int = 8,
+) -> jnp.ndarray:
+    """Integrate dq/dt = rhs(t, q) with classical RK4.
+
+    Parameters
+    ----------
+    rhs : callable (t, q) -> dq/dt. Closed over any operators/inputs.
+    q0 : (n,) array — initial state at ``t_eval[0]``.
+    t_eval : (k,) array — output times (may be non-uniform).
+    substeps : int — RK4 steps per output interval (static).
+
+    Returns
+    -------
+    (n, k) array of states at ``t_eval`` (first column is ``q0``).
+    """
+
+    def step_interval(q, t_pair):
+        t0, t1 = t_pair
+        h = (t1 - t0) / substeps
+
+        def substep(i, q):
+            t = t0 + i * h
+            k1 = rhs(t, q)
+            k2 = rhs(t + 0.5 * h, q + 0.5 * h * k1)
+            k3 = rhs(t + 0.5 * h, q + 0.5 * h * k2)
+            k4 = rhs(t + h, q + h * k3)
+            q = q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            return _clip_state(q)
+
+        q = jax.lax.fori_loop(0, substeps, substep, q)
+        return q, q
+
+    t_pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=1)
+    _, qs = jax.lax.scan(step_interval, q0, t_pairs)
+    return jnp.concatenate([q0[None, :], qs], axis=0).T
+
+
+_GAMMA = 1.0 - 0.5 * 2.0**0.5  # SDIRK2 (Alexander) stage coefficient.
+
+
+def dirk2_solve(
+    rhs: Callable,
+    q0: jnp.ndarray,
+    t_eval: jnp.ndarray,
+    jac: Optional[Callable] = None,
+    substeps: int = 2,
+    newton_iters: int = 6,
+) -> jnp.ndarray:
+    """Integrate a stiff system with 2-stage L-stable SDIRK + Newton.
+
+    Butcher tableau (gamma = 1 - sqrt(2)/2):
+
+        gamma | gamma      0
+          1   | 1-gamma  gamma
+        ------+----------------
+              | 1-gamma  gamma
+
+    Each stage solves k = rhs(t_s, q + h a k) with ``newton_iters`` full
+    Newton steps using a dense Jacobian (supplied analytically via ``jac``
+    or computed with ``jax.jacfwd``). State dimensions here are small
+    (ROMs: r <= ~30) to moderate (heat FOM: ~500), so dense solves map
+    well onto the MXU.
+
+    Returns
+    -------
+    (n, k) array of states at ``t_eval``.
+    """
+    jac_fn = jac if jac is not None else (lambda t, q: jax.jacfwd(rhs, argnums=1)(t, q))
+    n = q0.shape[0]
+    eye = jnp.eye(n, dtype=q0.dtype)
+
+    def solve_stage(t_s, q_base, h, k_init):
+        """Newton-solve k = rhs(t_s, q_base + h*gamma*k)."""
+
+        def newton(_, k):
+            x = q_base + h * _GAMMA * k
+            F = k - rhs(t_s, x)
+            J = eye - h * _GAMMA * jac_fn(t_s, x)
+            dk = jnp.linalg.solve(J, F)
+            return k - dk
+
+        return jax.lax.fori_loop(0, newton_iters, newton, k_init)
+
+    def step_interval(q, t_pair):
+        t0, t1 = t_pair
+        h = (t1 - t0) / substeps
+
+        def substep(i, q):
+            t = t0 + i * h
+            k1 = solve_stage(t + _GAMMA * h, q, h, rhs(t, q))
+            base2 = q + h * (1.0 - _GAMMA) * k1
+            k2 = solve_stage(t + h, base2, h, k1)
+            q = q + h * ((1.0 - _GAMMA) * k1 + _GAMMA * k2)
+            return _clip_state(q)
+
+        q = jax.lax.fori_loop(0, substeps, substep, q)
+        return q, q
+
+    t_pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=1)
+    _, qs = jax.lax.scan(step_interval, q0, t_pairs)
+    return jnp.concatenate([q0[None, :], qs], axis=0).T
+
+
+def stability_mask(
+    solution: jnp.ndarray,
+    shift: jnp.ndarray,
+    limits: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference instability criterion as a mask.
+
+    A draw is unstable when it is non-finite anywhere (fixed-step analogue
+    of scipy terminating early) or any state leaves the envelope
+    |q_i(t) - shift_i| > limits_i, where shift is the training-snapshot mean
+    and limits = 5 x max amplitude (``PDEs/step3_estimate.py:64-73``,
+    ``PDEs/main.py:126-140``).
+
+    Parameters
+    ----------
+    solution : (..., n, k) array.
+    shift : (n,) or (n, 1) array.
+    limits : (n,) array.
+
+    Returns
+    -------
+    (...,) bool array — True where the trajectory is STABLE.
+    """
+    shift = shift.reshape((-1, 1))
+    finite = jnp.all(jnp.isfinite(solution), axis=(-2, -1))
+    dev = jnp.max(jnp.abs(solution - shift), axis=-1)  # (..., n)
+    inside = jnp.all(dev <= limits, axis=-1)
+    return finite & inside

@@ -1,0 +1,179 @@
+"""Weighted, regularized least squares via one batched SVD.
+
+The Bayesian regression at the center of GP-BayesOpInf solves, for each
+operator row i = 1..r,
+
+    min_o || D o - z_i ||^2_{W_i} + lambda^2 || o ||^2,
+
+with W_i = sqrtW_i^T sqrtW_i from the GP derivative covariance; the
+posterior is N(mean_i, P_i^{-1}) with P_i = (sqrtW_i D)^T (sqrtW_i D)
++ lambda^2 I (behavioral spec: reference ``codebase/wlstsq.py:156-212``
+delegating to ``opinf.lstsq.L2Solver``, and the precision assembly at
+``PDEs/step3_estimate.py:84-89``).
+
+TPU-first reformulation: weight each block once, take ONE batched SVD
+``sqrtW_i D = U_i S_i V_i^T``, and express everything downstream
+spectrally:
+
+    mean_i(lambda)      = V_i diag(S_i / (S_i^2 + lambda^2)) U_i^T z~_i
+    P_i(lambda)         = V_i diag(S_i^2 + lambda^2) V_i^T
+    sample_i(lambda)    = mean_i + V_i (xi / sqrt(S_i^2 + lambda^2)),
+                          xi ~ N(0, I_d)
+
+so the entire regularization grid search (81 candidates x 20 draws x 2
+time domains in the reference, ``PDEs/step3_estimate.py:22``) reuses the
+factorization — no per-candidate refactor, no explicit covariance inverse,
+and posterior sampling never materializes a covariance matrix.
+
+Block structure: the reference stacks per-variable / per-trajectory blocks
+with ``scipy.linalg.block_diag`` (``ODEs/step3_estimate.py:211``,
+``PDEsMulti/step3_estimate.py:253-262``). Here weights are kept as a
+(r, B, m, m) batch and applied blockwise as batched matmuls — the same
+math without materializing (B*m)^2 block-diagonal zeros.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class WeightedLSTSQ(NamedTuple):
+    """Spectral factorization of the weighted regression problems.
+
+    Shapes: r problems, d unknowns per problem, M = B*m weighted rows.
+    """
+
+    U: jnp.ndarray  # (r, M, d) left singular vectors
+    S: jnp.ndarray  # (r, d) singular values
+    V: jnp.ndarray  # (r, d, d) right singular vectors (columns)
+    Utz: jnp.ndarray  # (r, d) U^T @ z-tilde
+    Dt: jnp.ndarray  # (r, M, d) weighted data matrices (sqrtW D)
+    zt: jnp.ndarray  # (r, M) weighted right-hand sides
+
+    @property
+    def num_problems(self) -> int:
+        return self.S.shape[0]
+
+    @property
+    def num_unknowns(self) -> int:
+        return self.S.shape[1]
+
+    # ---- posterior mean -----------------------------------------------------
+    def solve(self, lam) -> jnp.ndarray:
+        """Posterior mean rows for scalar (or per-row) regularizer lambda.
+
+        Returns
+        -------
+        (r, d) array.
+        """
+        lam = jnp.asarray(lam, dtype=self.S.dtype)
+        lam2 = jnp.broadcast_to(lam * lam, (self.num_problems,))
+        filt = self.S / (self.S * self.S + lam2[:, None])  # (r, d)
+        return jnp.einsum("rij,rj->ri", self.V, filt * self.Utz)
+
+    def solve_tikhonov(self, gamma_diag: jnp.ndarray) -> jnp.ndarray:
+        """Posterior mean with a diagonal Tikhonov regularizer.
+
+        gamma_diag : (d,) or (r, d) — diagonal of Gamma; solves the normal
+        equations (D~^T D~ + diag(gamma^2)) o = D~^T z~ directly (the
+        ``opinf.lstsq.TikhonovSolver`` capability of reference C-7).
+        """
+        gamma_diag = jnp.broadcast_to(
+            jnp.asarray(gamma_diag, dtype=self.S.dtype),
+            (self.num_problems, self.num_unknowns),
+        )
+        DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
+        A = DtD + jax.vmap(jnp.diag)(gamma_diag * gamma_diag)
+        b = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
+        return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+    # ---- posterior covariance spectrum ---------------------------------------
+    def precision_eigs(self, lam):
+        """Eigenvalues (S^2 + lambda^2) of each row's precision matrix.
+
+        The eigenvectors are the columns of V. Requires M >= d (true for
+        every reference workload) so that V spans R^d.
+        """
+        lam = jnp.asarray(lam, dtype=self.S.dtype)
+        lam2 = jnp.broadcast_to(lam * lam, (self.num_problems,))
+        return self.S * self.S + lam2[:, None]
+
+    def posterior_spd(self, lam) -> jnp.ndarray:
+        """True iff every row posterior covariance is SPD (finite, positive).
+
+        Mirrors the reference's LinAlgError -> "not positive definite" ->
+        retryable-None translation (``PDEs/step3_estimate.py:90-95``).
+        """
+        eigs = self.precision_eigs(lam)
+        return jnp.all(eigs > 0) & jnp.all(jnp.isfinite(eigs))
+
+    # ---- posterior sampling ---------------------------------------------------
+    def sample(self, lam, key, ndraws: int) -> jnp.ndarray:
+        """Draw operator-row samples from N(mean, P^{-1}).
+
+        Returns
+        -------
+        (ndraws, r, d) array.
+        """
+        mean = self.solve(lam)  # (r, d)
+        eigs = self.precision_eigs(lam)  # (r, d)
+        scale = jax.lax.rsqrt(jnp.maximum(eigs, 1e-300))
+        xi = jax.random.normal(
+            key, (ndraws, self.num_problems, self.num_unknowns), dtype=self.S.dtype
+        )
+        dev = jnp.einsum("rij,nrj->nri", self.V, xi * scale[None])
+        return mean[None] + dev
+
+    def covariances(self, lam) -> jnp.ndarray:
+        """Dense posterior covariances (r, d, d) — for export/persistence."""
+        eigs = self.precision_eigs(lam)
+        inv = 1.0 / eigs
+        return jnp.einsum("rik,rk,rjk->rij", self.V, inv, self.V)
+
+    def precisions(self, lam) -> jnp.ndarray:
+        """Dense posterior precisions (r, d, d)."""
+        eigs = self.precision_eigs(lam)
+        return jnp.einsum("rik,rk,rjk->rij", self.V, eigs, self.V)
+
+
+def weighted_lstsq_fit(
+    D_blocks: jnp.ndarray,
+    sqrtW: jnp.ndarray,
+    rhs: jnp.ndarray,
+) -> WeightedLSTSQ:
+    """Weight the blocks and factorize every row problem at once.
+
+    Parameters
+    ----------
+    D_blocks : (B, m, d) array
+        Unweighted data-matrix blocks. B = 1 for the single-trajectory ROM
+        regression; B = #state-variables for the ODE parameter problem
+        (block-specific rows of the model data matrix,
+        ``ODEs/config_seird.py:29-43``); B = #trajectories for the
+        multi-trajectory regression.
+    sqrtW : (r, B, m, m) array
+        Weight roots per problem row and block (GP ``sqrtW`` matrices).
+    rhs : (r, B, m) array
+        Unweighted right-hand sides (GP ddt estimates).
+
+    Returns
+    -------
+    WeightedLSTSQ (batched over the r problems).
+    """
+    r, B, m, _ = sqrtW.shape
+    d = D_blocks.shape[-1]
+    if D_blocks.shape != (B, m, d):
+        raise ValueError(f"D_blocks shape {D_blocks.shape} != {(B, m, d)}")
+    if rhs.shape != (r, B, m):
+        raise ValueError(f"rhs shape {rhs.shape} != {(r, B, m)}")
+    if B * m < d:
+        raise ValueError("underdetermined problem: need B*m >= d")
+
+    Dt = jnp.einsum("rbij,bjd->rbid", sqrtW, D_blocks).reshape(r, B * m, d)
+    zt = jnp.einsum("rbij,rbj->rbi", sqrtW, rhs).reshape(r, B * m)
+
+    U, S, Vt = jnp.linalg.svd(Dt, full_matrices=False)
+    V = jnp.swapaxes(Vt, -1, -2)
+    Utz = jnp.einsum("rmd,rm->rd", U, zt)
+    return WeightedLSTSQ(U, S, V, Utz, Dt, zt)

@@ -1,0 +1,163 @@
+"""Weighted LSTSQ spectral solver and IVP integrators."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import reference_impl as ref
+from gp_bayesopinf_tpu.solve import (
+    weighted_lstsq_fit,
+    rk4_solve,
+    dirk2_solve,
+    stability_mask,
+)
+
+
+@pytest.fixture
+def problem(rng):
+    B, m, d, r = 3, 40, 6, 4
+    D = rng.standard_normal((B, m, d))
+    X = rng.standard_normal((r, B, m, m)) / np.sqrt(m)
+    sqrtW = np.einsum("rbij,rbkj->rbik", X, X) + 0.5 * np.eye(m)
+    rhs = rng.standard_normal((r, B, m))
+    return D, sqrtW, rhs
+
+
+def test_solve_matches_oracle(problem):
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs))
+    for lam in (1e-8, 1e-2, 1.0, 100.0):
+        means, precisions = ref.weighted_lstsq_solve(D, sqrtW, rhs, lam)
+        np.testing.assert_allclose(fac.solve(lam), means, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            fac.precisions(lam), precisions, rtol=1e-8, atol=1e-8
+        )
+
+
+def test_covariance_is_precision_inverse(problem):
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs))
+    lam = 0.1
+    covs = np.asarray(fac.covariances(lam))
+    precs = np.asarray(fac.precisions(lam))
+    for i in range(covs.shape[0]):
+        np.testing.assert_allclose(
+            covs[i] @ precs[i], np.eye(covs.shape[1]), atol=1e-8
+        )
+
+
+def test_tikhonov_diagonal(problem):
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs))
+    d = D.shape[-1]
+    gamma = np.linspace(0.5, 2.0, d)
+    got = np.asarray(fac.solve_tikhonov(jnp.asarray(gamma)))
+    # Oracle: per-row normal equations with diag regularizer.
+    for i in range(sqrtW.shape[0]):
+        Dt = np.vstack([sqrtW[i, b] @ D[b] for b in range(D.shape[0])])
+        zt = np.concatenate([sqrtW[i, b] @ rhs[i, b] for b in range(D.shape[0])])
+        expect = np.linalg.solve(Dt.T @ Dt + np.diag(gamma**2), Dt.T @ zt)
+        np.testing.assert_allclose(got[i], expect, rtol=1e-8)
+
+
+def test_sampling_moments(problem):
+    """Posterior samples must match the analytic mean/covariance."""
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs))
+    lam = 0.5
+    draws = np.asarray(fac.sample(lam, jax.random.PRNGKey(3), 20000))
+    mean = np.asarray(fac.solve(lam))
+    cov = np.asarray(fac.covariances(lam))
+    np.testing.assert_allclose(
+        draws.mean(axis=0), mean, atol=5e-2 * np.abs(mean).max() + 1e-3
+    )
+    emp = np.einsum("nri,nrj->rij", draws - mean, draws - mean) / draws.shape[0]
+    assert np.max(np.abs(emp - cov)) < 0.1 * np.abs(cov).max()
+
+
+def test_per_row_regularizer(problem):
+    """C-8 capability: a different scalar lambda per row."""
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs))
+    lams = np.array([1e-3, 1e-1, 1.0, 10.0])
+    got = np.asarray(fac.solve(jnp.asarray(lams)))
+    for i, lam in enumerate(lams):
+        means, _ = ref.weighted_lstsq_solve(D, sqrtW, rhs, lam)
+        np.testing.assert_allclose(got[i], means[i], rtol=1e-8, atol=1e-10)
+
+
+# ---- integrators ----------------------------------------------------------------
+def test_rk4_seird(rng):
+    p = np.array([0.00025, 0.1, 0.099, 0.005])
+    q0 = np.array([994.0, 5.0, 1.0, 0.0, 0.0])
+    t = np.linspace(0, 200, 500)
+    expect = ref.solve_seird2(p, q0, t)
+
+    def _rhs(tt, q):
+        S, E, I = q[0], q[1], q[2]
+        dS = -p[0] * S * I
+        dE = -dS - p[1] * E
+        dR = p[2] * I
+        dD = p[3] * I
+        dI = p[1] * E - dR - dD
+        return jnp.stack([dS, dE, dI, dR, dD])
+
+    got = np.asarray(rk4_solve(_rhs, jnp.asarray(q0), jnp.asarray(t), substeps=4))
+    scale = np.abs(expect).max()
+    assert np.max(np.abs(got - expect)) < 1e-5 * scale
+
+
+def test_dirk2_stiff_linear():
+    """Stiff linear system: DIRK must remain stable and accurate where the
+    explicit method at the same step count blows up."""
+    lam = np.array([-1.0, -100.0, -10000.0])
+    q0 = np.ones(3)
+    t = np.linspace(0, 1.0, 101)
+
+    def f(tt, q):
+        return jnp.asarray(lam) * q
+
+    got = np.asarray(dirk2_solve(f, jnp.asarray(q0), jnp.asarray(t), substeps=4))
+    expect = np.exp(lam[:, None] * t[None, :])
+    assert np.all(np.isfinite(got))
+    assert np.max(np.abs(got - expect)) < 2e-3
+
+
+def test_dirk2_cubic_heat_vs_scipy(rng):
+    x = np.linspace(0, 1, 60)
+    A, c, B = ref.heat_operators(x, 0.0, 1.0, 1e-2)
+    q0 = np.asarray(
+        6 * np.exp(-x) * x * (1 - x) ** 3
+        - 10 * np.exp(x) * x * (1 - x) * np.sin(x / 6)
+        + x
+    )[1:-1]
+    t = np.linspace(0, 2, 100)
+    expect = ref.solve_cubic_heat(q0, t, A, c, B, 1.0, -2.0, rtol=1e-8, atol=1e-10)
+
+    Aj, cj, Bj = jnp.asarray(A), jnp.asarray(c), jnp.asarray(B)
+
+    def f(tt, q):
+        u = jnp.stack([jnp.sin(2 * jnp.pi * tt), -2.0 * jnp.sin(4 * jnp.pi * tt)])
+        return cj + Aj @ q - q**3 + Bj @ u
+
+    def jac(tt, q):
+        return Aj - jnp.diag(3 * q * q)
+
+    got = np.asarray(
+        dirk2_solve(f, jnp.asarray(q0), jnp.asarray(t), jac=jac, substeps=4)
+    )
+    scale = np.abs(expect).max()
+    assert np.max(np.abs(got - expect)) < 2e-3 * scale
+
+
+def test_stability_mask():
+    k, n = 20, 3
+    good = np.zeros((n, k))
+    bad_amp = np.zeros((n, k)); bad_amp[1, -1] = 100.0
+    bad_nan = np.zeros((n, k)); bad_nan[0, 5] = np.nan
+    sols = jnp.asarray(np.stack([good, bad_amp, bad_nan]))
+    shift = jnp.zeros(n)
+    limits = jnp.full(n, 5.0)
+    mask = stability_mask(sols, shift, limits)
+    assert mask.tolist() == [True, False, False]
