@@ -3,14 +3,21 @@
 The reference fits one sklearn GP per POD mode, each with 1 + n_restarts
 serial L-BFGS-B runs (``codebase/gpkernels.py:302-308``,
 ``PDEs/config_euler.py:103`` uses 100 restarts) — thousands of sequential
-small Cholesky factorizations on CPU. Here the whole (modes x restarts)
-population is ONE jitted computation: ``vmap`` over restarts, ``vmap`` over
-modes, L-BFGS (optax, zoom line search) on the box-transformed NLML, fixed
-iteration count for static shapes, best-restart selection by final NLML.
+small Cholesky factorizations on CPU. The fork's second backend instead
+runs Adam on the exact-GP NLML (``codebase/gpkernels.py:92-100``).
 
-Restart-seeding convention mirrors sklearn: restart 0 starts from the
-kernel's default values projected into the bounds (sigma2 = ell = chi = 1);
-the rest are sampled log-uniform inside the bounds.
+This fitter combines both, fully batched on device:
+
+1. **Screening** — Adam on the box-transformed NLML, ``vmap``-ed over
+   every (mode, restart) pair at once: a fixed-length ``lax.scan`` whose
+   cost per step is one batched Cholesky over the whole population.
+2. **Polish** — L-BFGS (optax, zoom line search) from each mode's best
+   screening result only: high-precision convergence without paying the
+   line-search cost for the full restart population.
+
+Restart-seeding mirrors sklearn: restart 0 starts from the kernel default
+(sigma2 = ell = chi = 1 projected into bounds); the rest are sampled
+log-uniform inside the bounds.
 """
 
 from functools import partial
@@ -42,16 +49,34 @@ def _initial_z(box: BoxTransform, key, n_restarts: int) -> jnp.ndarray:
     return jnp.concatenate([default[None, :], zs], axis=0)
 
 
-def _minimize_one(z0, box, t, y, maxiter):
-    """Run L-BFGS from one starting point; return (z_final, nlml_final)."""
-    fun = partial(nlml_in_box, box=box, t=t, y=y)
+def _adam_screen(z0, fun, steps: int, lr: float):
+    """Fixed-length Adam descent; returns (z_final, nlml_final)."""
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        z, state = carry
+        val, grad = jax.value_and_grad(fun)(z)
+        bad = ~(jnp.isfinite(val) & jnp.all(jnp.isfinite(grad)))
+        grad = jnp.where(bad, jnp.zeros_like(grad), grad)
+        updates, state = opt.update(grad, state, z)
+        updates = jnp.where(bad, jnp.zeros_like(updates), updates)
+        return (optax.apply_updates(z, updates), state), None
+
+    (z_fin, _), _ = jax.lax.scan(step, (z0, opt.init(z0)), None, length=steps)
+    val = fun(z_fin)
+    val0 = fun(z0)
+    better = val < val0
+    return jnp.where(better, z_fin, z0), jnp.where(better, val, val0)
+
+
+def _lbfgs_polish(z0, fun, maxiter: int):
+    """L-BFGS with zoom line search from a single start."""
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(fun)
 
     def step(carry, _):
         z, state = carry
         value, grad = value_and_grad(z, state=state)
-        # Freeze on non-finite values/grads: zero updates keep the iterate.
         bad = ~(jnp.isfinite(value) & jnp.all(jnp.isfinite(grad)))
         grad = jnp.where(bad, jnp.zeros_like(grad), grad)
         value = jnp.where(bad, jnp.array(1e30, value.dtype), value)
@@ -59,27 +84,28 @@ def _minimize_one(z0, box, t, y, maxiter):
             grad, state, z, value=value, grad=grad, value_fn=fun
         )
         updates = jnp.where(bad, jnp.zeros_like(updates), updates)
-        z = optax.apply_updates(z, updates)
-        return (z, state), None
+        return (optax.apply_updates(z, updates), state), None
 
-    state0 = opt.init(z0)
-    (z_fin, _), _ = jax.lax.scan(step, (z0, state0), None, length=maxiter)
+    (z_fin, _), _ = jax.lax.scan(step, (z0, opt.init(z0)), None, length=maxiter)
     val = fun(z_fin)
-    # Never return a point worse than the start (line-search divergence guard).
     val0 = fun(z0)
     better = val < val0
-    z_fin = jnp.where(better, z_fin, z0)
-    return z_fin, jnp.where(better, val, val0)
+    return jnp.where(better, z_fin, z0), jnp.where(better, val, val0)
 
 
-@partial(jax.jit, static_argnames=("n_restarts", "maxiter"))
+@partial(
+    jax.jit,
+    static_argnames=("n_restarts", "adam_steps", "polish_iters"),
+)
 def fit_gp_hyperparameters(
     t: jnp.ndarray,
     Y: jnp.ndarray,
     box: BoxTransform,
     key: jax.Array,
     n_restarts: int = 50,
-    maxiter: int = 80,
+    adam_steps: int = 150,
+    adam_lr: float = 0.08,
+    polish_iters: int = 30,
 ) -> FitResult:
     """Fit RBF+white GP hyperparameters for every row of Y at once.
 
@@ -95,31 +121,31 @@ def fit_gp_hyperparameters(
         Log-space hyperparameter bounds.
     key : PRNG key for restart sampling.
     n_restarts : int
-        Number of random restarts in addition to the default start.
-    maxiter : int
-        L-BFGS iterations (static; fixed-length scan).
+        Random restarts in addition to the default start.
+    adam_steps, adam_lr : screening descent budget.
+    polish_iters : L-BFGS iterations from each mode's screening winner.
 
     Returns
     -------
     FitResult with (r,)-shaped fields.
     """
     r = Y.shape[0]
-    if t.ndim == 1:
-        T = jnp.broadcast_to(t, (r, t.shape[0]))
-    else:
-        T = t
-
+    T = jnp.broadcast_to(t, (r, t.shape[-1])) if t.ndim == 1 else t
     keys = jax.random.split(key, r)
 
     def fit_one_mode(t_i, y_i, key_i):
+        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
         z0s = _initial_z(box, key_i, n_restarts)
-        z_fins, vals = jax.vmap(
-            lambda z0: _minimize_one(z0, box, t_i, y_i, maxiter)
-        )(z0s)
-        vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-        best = jnp.argmin(vals)
-        log_params = box.to_log_params(z_fins[best])
-        return jnp.exp(log_params), vals[best]
+        z_scr, v_scr = jax.vmap(lambda z: _adam_screen(z, fun, adam_steps, adam_lr))(
+            z0s
+        )
+        v_scr = jnp.where(jnp.isfinite(v_scr), v_scr, jnp.inf)
+        best = jnp.argmin(v_scr)
+        z_pol, v_pol = _lbfgs_polish(z_scr[best], fun, polish_iters)
+        take_pol = v_pol < v_scr[best]
+        z_fin = jnp.where(take_pol, z_pol, z_scr[best])
+        v_fin = jnp.where(take_pol, v_pol, v_scr[best])
+        return jnp.exp(box.to_log_params(z_fin)), v_fin
 
     params, vals = jax.vmap(fit_one_mode)(T, Y, keys)
     return FitResult(params[:, 0], params[:, 1], params[:, 2], vals)

@@ -147,7 +147,8 @@ def fit_gaussian_processes(
     n_restarts_optimizer: int = 50,
     gp_regularizer: float = 1e-8,
     key=None,
-    maxiter: int = 80,
+    adam_steps: int = 150,
+    polish_iters: int = 30,
 ):
     """Fit GPs to every row of ``snapshots_sampled`` — one batched solve.
 
@@ -170,7 +171,10 @@ def fit_gaussian_processes(
         constant_bounds, length_scale_bounds, noise_level_bounds
     )
     fit: FitResult = fit_gp_hyperparameters(
-        t_s, Y, box, key, n_restarts=n_restarts_optimizer, maxiter=maxiter
+        t_s, Y, box, key,
+        n_restarts=n_restarts_optimizer,
+        adam_steps=adam_steps,
+        polish_iters=polish_iters,
     )
 
     T = jnp.broadcast_to(t_s, Y.shape) if t_s.ndim == 1 else t_s

@@ -31,6 +31,7 @@ class Euler:
 
     spatial_domain: np.ndarray
     substeps: int = 12
+    cfl_safety: float = 0.4
 
     gamma = 1.4
     num_variables = 3
@@ -107,12 +108,31 @@ class Euler:
         )
 
     def solve(self, initial_conditions, timepoints) -> jnp.ndarray:
-        """Integrate from specific-volume ICs; returns lifted (3nx, k)."""
+        """Integrate from specific-volume ICs; returns lifted (3nx, k).
+
+        The substep count is chosen per call from the CFL limit evaluated
+        at the initial condition and the LARGEST output interval, so
+        non-uniform sample grids (sparse random snapshot times,
+        reference ``PDEs/step1_generate_data.py:48-56``) remain stable.
+        ``timepoints`` must be a concrete array (data generation runs
+        outside jit).
+        """
         from ..solve.ivp import rk4_solve
+
+        ics = np.asarray(initial_conditions)
+        v, p, zeta = np.split(ics, 3)
+        rho = 1.0 / zeta
+        sound = np.sqrt(self.gamma * np.abs(p) / rho)
+        speed = float(np.max(np.abs(v) + sound))
+        dt_cfl = self.cfl_safety * self.dx / max(speed, 1e-30)
+
+        t_np = np.asarray(timepoints)
+        max_gap = float(np.max(np.diff(t_np)))
+        substeps = max(self.substeps, int(np.ceil(max_gap / dt_cfl)))
 
         q0 = self.unlift(jnp.asarray(initial_conditions))
         sol = rk4_solve(
-            self.derivative, q0, jnp.asarray(timepoints), substeps=self.substeps
+            self.derivative, q0, jnp.asarray(timepoints), substeps=substeps
         )
         return self.lift(sol)
 

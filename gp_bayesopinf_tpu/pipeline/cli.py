@@ -1,0 +1,109 @@
+"""Command-line interface for the experiment pipelines.
+
+Mirrors the reference argparse surface (``PDEs/main.py:258-339``,
+``ODEs/main.py``) with one subcommand per pipeline:
+
+    gpboi seird T_MAX NUM_SAMPLES NOISE NUM_PTS [--ndraws N] [--exportto P]
+    gpboi euler T_MAX NUM_SAMPLES NOISE NUM_PTS NUM_MODES [--gpreg ETA]
+                [--ndraws N] [--exportto P] [--ddtdata]
+    gpboi heat  T_MAX NUM_SAMPLES NOISE NUM_PTS NUM_MODES [--ndraws N]
+                [--exportto P]
+"""
+
+import argparse
+
+
+def _common(sub, modes: bool):
+    sub.add_argument("t_max", type=float, help="training time-span upper bound")
+    sub.add_argument("num_samples", type=int, help="training snapshots to sample")
+    sub.add_argument("noiselevel", type=float, help="noise percentage")
+    sub.add_argument(
+        "num_regression_points", type=int, help="GP estimation points m'"
+    )
+    if modes:
+        sub.add_argument("numPODmodes", type=int, help="POD modes r")
+    sub.add_argument("--gpreg", type=float, default=1e-8, help="GP eta")
+    sub.add_argument("--ndraws", type=int, default=100, help="posterior draws")
+    sub.add_argument("--exportto", help="HDF5 export prefix")
+    sub.add_argument(
+        "--noopen", action="store_true", help="do not open figures"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="gpboi",
+        description="TPU-native GP-BayesOpInf experiment pipelines",
+    )
+    subs = parser.add_subparsers(dest="pipeline", required=True)
+
+    seird = subs.add_parser("seird", help="SEIRD parameter estimation (ODEs/)")
+    _common(seird, modes=False)
+    seird.add_argument(
+        "--crosscheck", action="store_true",
+        help="compare GP products against the LAPACK backend",
+    )
+
+    euler = subs.add_parser("euler", help="Euler GP-BayesOpInf (PDEs/)")
+    _common(euler, modes=True)
+    euler.add_argument(
+        "--ddtdata", action="store_true",
+        help="export derivative-estimate comparison data",
+    )
+
+    heat = subs.add_parser("heat", help="multi-trajectory cubic heat (PDEsMulti/)")
+    _common(heat, modes=True)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.pipeline == "seird":
+        from .odes import run_seird
+
+        result = run_seird(
+            training_span=(0.0, args.t_max),
+            num_samples=args.num_samples,
+            noiselevel=args.noiselevel,
+            num_regression_points=args.num_regression_points,
+            gp_regularizer=args.gpreg,
+            ndraws=args.ndraws,
+            crosscheck=args.crosscheck,
+        )
+    elif args.pipeline == "euler":
+        from .pdes import run_euler
+
+        result = run_euler(
+            training_span=(0.0, args.t_max),
+            num_samples=args.num_samples,
+            noiselevel=args.noiselevel,
+            num_regression_points=args.num_regression_points,
+            num_pod_modes=args.numPODmodes,
+            gp_regularizer=args.gpreg,
+            ndraws=args.ndraws,
+            ddtdata=args.ddtdata,
+        )
+    else:
+        from .pdes_multi import run_heat_multi
+
+        result = run_heat_multi(
+            training_span=(0.0, args.t_max),
+            num_samples=args.num_samples,
+            noiselevel=args.noiselevel,
+            num_regression_points=args.num_regression_points,
+            num_pod_modes=args.numPODmodes,
+            gp_regularizer=args.gpreg,
+            ndraws=args.ndraws,
+        )
+
+    if args.exportto:
+        from ..io.hdf5 import export_result
+
+        export_result(result, args.exportto)
+        print(f"exported artifacts with prefix {args.exportto}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

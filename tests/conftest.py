@@ -10,6 +10,7 @@ import os
 # Force CPU even when the session environment pins a TPU platform: unit
 # tests must run without TPU hardware (and TPU compiles are minutes-slow).
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["GPBOI_NO_COMPILE_CACHE"] = "1"
 existing = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in existing:
     os.environ["XLA_FLAGS"] = (

@@ -105,7 +105,7 @@ def test_fit_recovers_reasonable_hyperparameters(rng):
     box = BoxTransform.from_bounds(bounds["constant"], bounds["ell"], bounds["chi"])
     fit = fit_gp_hyperparameters(
         jnp.asarray(t), jnp.asarray(y)[None], box,
-        jax.random.PRNGKey(0), n_restarts=10, maxiter=60,
+        jax.random.PRNGKey(0), n_restarts=10,
     )
 
     kernel = (
