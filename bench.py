@@ -1,0 +1,270 @@
+"""Benchmark: flagship Euler GP-BayesOpInf core on TPU vs CPU baseline.
+
+Measures the reference's hot loops (SURVEY.md section 3.1) at the flagship
+ex1a scale (r = 6 modes, m = 200 samples, m' = 400 regression points):
+
+  C. GP estimation per mode: Cholesky solves + (m' x m') eigh for sqrtW
+  D. regularization grid search: 81 candidates x 20 posterior draws x 2
+     time domains of ROM integrations
+  E. posterior ensemble: 1000 draws integrated over 401 output times
+
+TPU path: one jitted computation — batched eigh/SVD + vmapped RK4.
+CPU baseline: the same math via NumPy/SciPy (LAPACK + scipy.solve_ivp),
+serial per mode / draw / candidate, as the reference executes it.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu seconds>, "unit": "s",
+   "vs_baseline": <cpu_baseline_seconds / tpu_seconds>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+R, M, MP, K = 6, 200, 400, 401
+NDRAWS_GRID, NGRID, NDRAWS_ENS = 20, 81, 1000
+ETA = 1e-8
+SEED = 27092023
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_problem():
+    """Synthetic flagship-scale problem with realistic hyperparameters."""
+    rng = np.random.default_rng(SEED)
+    ts = np.sort(rng.uniform(0, 0.06, M))
+    t_est = np.linspace(0, 0.06, MP)
+    t_pred = np.linspace(0, 0.15, K)
+    # Smooth multi-frequency signals standing in for POD coordinates.
+    freqs = rng.uniform(40, 120, (R, 3))
+    amps = rng.uniform(0.2, 1.0, (R, 3))
+
+    def signal(t):
+        return np.stack(
+            [
+                sum(a * np.sin(f * t + i) for a, f, i in zip(amps[j], freqs[j], range(3)))
+                for j in range(R)
+            ]
+        )
+
+    Y = signal(ts) + 0.01 * rng.standard_normal((R, M))
+    hyper = np.stack(
+        [np.ones(R) * 0.8, np.full(R, 0.005), np.full(R, 1e-4)], axis=1
+    )
+    return ts, Y, t_est, t_pred, hyper
+
+
+# ---------------- CPU baseline (NumPy / SciPy, serial) -------------------------
+def run_cpu(ts, Y, t_est, t_pred, hyper):
+    import scipy.linalg as la
+    import scipy.integrate
+
+    rng = np.random.default_rng(SEED + 1)
+    d = 1 + R + R * (R + 1) // 2
+
+    def kernel_products(t, y, s2, ell, chi):
+        ell2 = ell * ell
+
+        def kap(a, b):
+            dd = a[:, None] - b[None, :]
+            return s2 * np.exp(-(dd * dd) / (2 * ell2))
+
+        Kyy = kap(t, t) + chi * np.eye(t.size)
+        kzy = kap(t_est, t)
+        Kzy = -(t_est[:, None] - t[None, :]) * kzy / ell2
+        dzz = t_est[:, None] - t_est[None, :]
+        Kzz = (1 - dzz * dzz / ell2) * kap(t_est, t_est) / ell2
+        cho = la.cho_factor(Kyy)
+        alpha = la.cho_solve(cho, y)
+        state = kzy @ alpha
+        ddt = Kzy @ alpha
+        cross = Kzy @ la.cho_solve(cho, Kzy.T)
+        C = Kzz - 0.5 * (cross + cross.T)
+        w, V = la.eigh(C + ETA * np.eye(MP))
+        sqrtW = (V / np.sqrt(w)) @ V.T
+        return state, ddt, sqrtW
+
+    # Stage C — per-mode estimation (serial).
+    states, ddts, sqrtWs = [], [], []
+    for i in range(R):
+        s, dd, sw = kernel_products(ts, Y[i], *hyper[i])
+        states.append(s)
+        ddts.append(dd)
+        sqrtWs.append(sw)
+    states = np.stack(states)
+
+    # Regression (weighted, per row).
+    def ckron_np(Q):
+        rows, cols = np.tril_indices(R)
+        return Q[rows] * Q[cols]
+
+    D = np.vstack([np.ones(MP), states, ckron_np(states)]).T
+    Dts, zts = [], []
+    for i in range(R):
+        Dts.append(sqrtWs[i] @ D)
+        zts.append(sqrtWs[i] @ ddts[i])
+    svds = [np.linalg.svd(Dt, full_matrices=False) for Dt in Dts]
+
+    def rhs_np(t, q, Ohat):
+        feats = np.concatenate([[1.0], q, ckron_np(q[:, None])[:, 0]])
+        return Ohat @ feats
+
+    def integrate(Ohat, t_eval):
+        sol = scipy.integrate.solve_ivp(
+            rhs_np, (t_eval[0], t_eval[-1]), states[:, 0], t_eval=t_eval,
+            args=(Ohat,), rtol=1e-5, atol=1e-8, method="RK45",
+        )
+        return sol.y, sol.y.shape[1] == t_eval.size
+
+    def solve_and_sample(lam, ndraws):
+        ohats = []
+        for i in range(R):
+            U, S, Vt = svds[i]
+            mean = Vt.T @ (S / (S * S + lam * lam) * (U.T @ zts[i]))
+            fac = Vt.T / np.sqrt(S * S + lam * lam)
+            ohats.append(
+                mean[None] + rng.standard_normal((ndraws, d)) @ fac.T
+            )
+        return np.stack(ohats, axis=1)  # (ndraws, R, d)
+
+    # Stage D — grid search (serial candidates x draws x 2 domains).
+    shift = states.mean(axis=1, keepdims=True)
+    limits = 5 * np.abs(states - shift).max(axis=1)
+    grid = np.logspace(-16, 4, NGRID)
+    best = (np.inf, grid[0])
+    for lam in grid:
+        ohats = solve_and_sample(lam, NDRAWS_GRID)
+        draws, ok_all = [], True
+        for O in ohats:
+            for tdom in (t_pred, t_est):
+                sol, ok = integrate(O, tdom)
+                if not ok or np.any(np.abs(sol - shift).max(axis=1) > limits):
+                    ok_all = False
+                    break
+            if not ok_all:
+                break
+            draws.append(sol)
+        if not ok_all:
+            continue
+        err = np.linalg.norm(np.mean(draws, axis=0) - states) / np.linalg.norm(states)
+        if err < best[0]:
+            best = (err, lam)
+    lam = best[1]
+
+    # Stage E — 1000-draw ensemble (serial).
+    ohats = solve_and_sample(lam, NDRAWS_ENS)
+    count = 0
+    acc = np.zeros((R, K))
+    for O in ohats:
+        sol, ok = integrate(O, t_pred)
+        if ok:
+            acc += sol
+            count += 1
+    return acc / max(count, 1)
+
+
+# ---------------- TPU path (one jitted computation) -----------------------------
+def make_tpu_fn():
+    import jax
+    import jax.numpy as jnp
+    from gp_bayesopinf_tpu.gp.estimates import gp_estimates
+    from gp_bayesopinf_tpu.solve.lstsq import weighted_lstsq_fit
+    from gp_bayesopinf_tpu.solve.ivp import stability_mask
+    from gp_bayesopinf_tpu.rom.model import GalerkinROM
+
+    rom = GalerkinROM("cAH", state_dimension=R, substeps=8)
+    grid = jnp.asarray(np.logspace(-16, 4, NGRID))
+
+    def core(ts, Y, t_est, t_pred, hyper, key):
+        ests = jax.vmap(
+            lambda y, h: gp_estimates(ts, y, t_est, h[0], h[1], h[2], eta=ETA)
+        )(Y, hyper)
+        states = ests.state_estimate
+
+        D = rom.data_matrix(states)[None]
+        fac = weighted_lstsq_fit(D, ests.sqrtW[:, None], ests.ddt_estimate[:, None])
+
+        shift = jnp.mean(states, axis=1)
+        limits = 5.0 * jnp.max(jnp.abs(states - shift[:, None]), axis=1)
+        q0 = states[:, 0]
+        norm = jnp.linalg.norm(states)
+
+        def candidate(lam, k):
+            ohats = fac.sample(lam, k, NDRAWS_GRID)
+            sol_p = jax.vmap(lambda O: rom.predict(O, q0, t_pred))(ohats)
+            sol_e = jax.vmap(lambda O: rom.predict(O, q0, t_est))(ohats)
+            stable = jnp.all(stability_mask(sol_p, shift, limits)) & jnp.all(
+                stability_mask(sol_e, shift, limits)
+            )
+            err = jnp.linalg.norm(jnp.mean(sol_e, axis=0) - states) / norm
+            err = jnp.where(jnp.isfinite(err), err, 1e12)
+            return jnp.where(stable, err, 1e12)
+
+        keys = jax.random.split(key, NGRID + 1)
+        errs = jax.vmap(candidate)(grid, keys[:-1])
+        lam = grid[jnp.argmin(errs)]
+
+        ohats = fac.sample(lam, keys[-1], NDRAWS_ENS)
+        sols = jax.vmap(lambda O: rom.predict(O, q0, t_pred))(ohats)
+        ok = stability_mask(sols, shift, limits)
+        acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
+        return acc / jnp.maximum(jnp.sum(ok), 1), lam
+
+    return jax.jit(core)
+
+
+def main():
+    ts, Y, t_est, t_pred, hyper = make_problem()
+
+    # --- CPU baseline ----------------------------------------------------------
+    _log("running CPU (NumPy/SciPy serial) baseline ...")
+    t0 = time.perf_counter()
+    run_cpu(ts, Y, t_est, t_pred, hyper)
+    cpu_s = time.perf_counter() - t0
+    _log(f"CPU baseline: {cpu_s:.2f} s")
+
+    # --- TPU path --------------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    _log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+    fn = make_tpu_fn()
+    args = (
+        jnp.asarray(ts),
+        jnp.asarray(Y),
+        jnp.asarray(t_est),
+        jnp.asarray(t_pred),
+        jnp.asarray(hyper),
+        jax.random.PRNGKey(0),
+    )
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    _log(f"TPU compile+first run: {time.perf_counter() - t0:.2f} s")
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    tpu_s = (time.perf_counter() - t0) / reps
+    _log(f"TPU steady-state: {tpu_s:.4f} s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "euler_core_r6_m200_mp400_grid81x20_ens1000_wallclock",
+                "value": round(tpu_s, 4),
+                "unit": "s",
+                "vs_baseline": round(cpu_s / tpu_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

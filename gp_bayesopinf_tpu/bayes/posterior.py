@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..rom.model import GalerkinROM
-from ..solve.ivp import rk4_solve, stability_mask
+from ..solve.ivp import finite_mask, rk4_solve, stability_mask
 from ..solve.lstsq import WeightedLSTSQ
 
 
@@ -135,7 +135,7 @@ class BayesianROM:
         draws = jax.vmap(predict)(ohats)
 
         if stability_envelope is None:
-            valid = jnp.all(jnp.isfinite(draws), axis=(-2, -1))
+            valid = finite_mask(draws)
         else:
             shift, limits = stability_envelope
             valid = stability_mask(draws, shift, limits)
@@ -209,7 +209,7 @@ class BayesianODE:
         solve = lambda p: self.model.solve(q0, t, parameters=p)
         draws = jax.vmap(solve)(params)
         if stability_envelope is None:
-            valid = jnp.all(jnp.isfinite(draws), axis=(-2, -1))
+            valid = finite_mask(draws)
         else:
             shift, limits = stability_envelope
             valid = stability_mask(draws, shift, limits)

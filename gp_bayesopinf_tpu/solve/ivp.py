@@ -29,13 +29,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _clip_state(q: jnp.ndarray) -> jnp.ndarray:
-    """Clamp diverging trajectories to a large sentinel.
+# Any state with |q| >= DIVERGED is treated as a blown-up trajectory by the
+# masks below; the integrators clamp at a larger sentinel so diverging
+# members stay finite (cheap arithmetic, no NaN propagation) but are still
+# unambiguously detectable.
+DIVERGED = 1e16
 
-    Keeps unstable ensemble members finite-ish long enough to be cheap and
-    leaves them far outside any stability envelope so masking catches them.
-    NaNs are left alone (they also fail the mask).
-    """
+
+def _clip_state(q: jnp.ndarray) -> jnp.ndarray:
+    """Clamp diverging trajectories to a large sentinel (> DIVERGED)."""
     return jnp.clip(q, -1e18, 1e18)
 
 
@@ -170,7 +172,16 @@ def stability_mask(
     (...,) bool array — True where the trajectory is STABLE.
     """
     shift = shift.reshape((-1, 1))
-    finite = jnp.all(jnp.isfinite(solution), axis=(-2, -1))
+    finite = jnp.all(
+        jnp.isfinite(solution) & (jnp.abs(solution) < DIVERGED), axis=(-2, -1)
+    )
     dev = jnp.max(jnp.abs(solution - shift), axis=-1)  # (..., n)
     inside = jnp.all(dev <= limits, axis=-1)
     return finite & inside
+
+
+def finite_mask(solution: jnp.ndarray) -> jnp.ndarray:
+    """True where the trajectory neither NaN'd nor hit the divergence clamp."""
+    return jnp.all(
+        jnp.isfinite(solution) & (jnp.abs(solution) < DIVERGED), axis=(-2, -1)
+    )

@@ -1,0 +1,8 @@
+"""viz: matplotlib plotting of GP fits and posterior ensembles
+(host-side; mirrors the reference's ``codebase/baseplots.py`` +
+per-pipeline ``step4_plot.py`` semantics)."""
+
+from .baseplots import COLORS, BasePlotter
+from .plotters import ODEPlotter, ReducedPlotter, StatePlotter
+
+__all__ = ["COLORS", "BasePlotter", "ODEPlotter", "ReducedPlotter", "StatePlotter"]

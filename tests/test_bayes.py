@@ -1,0 +1,127 @@
+"""Posteriors, ensembles, and the regularization auto-search."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gp_bayesopinf_tpu.solve import weighted_lstsq_fit
+from gp_bayesopinf_tpu.bayes import (
+    OperatorPosterior,
+    BayesianODE,
+    BayesianROM,
+    auto_regularize,
+)
+from gp_bayesopinf_tpu.bayes.regsearch import MAXOPTVAL
+from gp_bayesopinf_tpu.rom import GalerkinROM
+from gp_bayesopinf_tpu.models import SEIRD2
+
+
+@pytest.fixture
+def linear_problem(rng):
+    """Weighted regression whose truth is a known stable linear ROM."""
+    r = 3
+    A_true = np.diag([-0.6, -1.1, -1.7])
+    rom = GalerkinROM("cA", state_dimension=r, substeps=4)
+    t = np.linspace(0, 4, 120)
+    q0 = np.array([1.0, -0.8, 0.5])
+    Q = np.stack([np.exp(np.diag(A_true) * tt) * q0 for tt in t], axis=1)
+    dQ = A_true @ Q
+    D = np.asarray(rom.data_matrix(jnp.asarray(Q)))[None]  # (1, k, d)
+    # Generous weights -> sharp posterior (the fixture's data matrix is
+    # mildly ill-conditioned; this keeps ensemble draws near the truth).
+    sqrtW = np.broadcast_to(30.0 * np.eye(len(t)), (r, 1, len(t), len(t)))
+    rhs = dQ[:, None, :]
+    fac = weighted_lstsq_fit(
+        jnp.asarray(D), jnp.asarray(sqrtW.copy()), jnp.asarray(rhs.copy())
+    )
+    return rom, fac, Q, t, q0, A_true
+
+
+def test_posterior_from_lstsq_moments(linear_problem):
+    rom, fac, Q, t, q0, A_true = linear_problem
+    post = OperatorPosterior.from_lstsq(fac, 1e-6)
+    ops = rom.extract_operators(post.means)
+    np.testing.assert_allclose(ops["A"], A_true, atol=1e-6)
+    # Covariance factors reproduce the analytic covariance.
+    covs = np.asarray(post.covariances())
+    np.testing.assert_allclose(covs, np.asarray(fac.covariances(1e-6)), atol=1e-12)
+
+
+def test_bayesian_rom_ensemble(linear_problem):
+    rom, fac, Q, t, q0, _ = linear_problem
+    bm = BayesianROM(rom, OperatorPosterior.from_lstsq(fac, 1e-2))
+    draws, valid = bm.solution_posterior(
+        jax.random.PRNGKey(0), jnp.asarray(q0), jnp.asarray(t), ndraws=32
+    )
+    assert draws.shape == (32, 3, len(t))
+    valid = np.asarray(valid)
+    assert valid.sum() >= 24  # most draws stable
+    mean = np.asarray(draws)[valid].mean(axis=0)
+    assert np.linalg.norm(mean - Q) / np.linalg.norm(Q) < 0.1
+
+
+def test_bayesian_ode_nonnegative_rvs():
+    model = SEIRD2()
+    mean = np.array([0.5, 0.5, 0.5, 0.5])
+    cov = 0.4 * np.eye(4)  # wide enough that raw draws often go negative
+    post = OperatorPosterior.from_moments(mean[None], cov[None])
+    bm = BayesianODE(model, post)
+    draws = np.asarray(bm.rvs(jax.random.PRNGKey(0), 200, nonnegative=True))
+    assert draws.shape == (200, 4)
+    assert np.all(draws >= 0)
+    raw = np.asarray(bm.rvs(jax.random.PRNGKey(0), 200))
+    assert np.any(raw < 0)  # the constraint actually did something
+
+
+def test_auto_regularize_selects_stable(linear_problem):
+    rom, fac, Q, t, q0, _ = linear_problem
+    res = auto_regularize(
+        fac,
+        [lambda O, q, tt: rom.predict(O, q, tt)],
+        jnp.asarray(q0)[None],
+        jnp.asarray(t),
+        jnp.asarray(t),
+        jnp.asarray(Q)[None],
+        jax.random.PRNGKey(1),
+        grid=np.logspace(-10, 2, 9),
+        ndraws=8,
+        verbose=False,
+    )
+    assert res.regularizer > 0
+    # Clean linear problem: small regularizers should win and be accurate.
+    assert res.grid_errors.min() < 0.05
+    assert np.isfinite(res.grid_errors).all()
+
+
+def test_auto_regularize_all_unstable_raises(linear_problem):
+    rom, fac, Q, t, q0, _ = linear_problem
+    # An envelope of zeros makes every draw "unstable".
+    with pytest.raises(ValueError, match="unstable"):
+        auto_regularize(
+            fac,
+            [lambda O, q, tt: rom.predict(O, q, tt)],
+            jnp.asarray(q0)[None],
+            jnp.asarray(t),
+            jnp.asarray(t),
+            jnp.zeros_like(jnp.asarray(Q))[None],  # zero amplitudes
+            jax.random.PRNGKey(1),
+            grid=np.logspace(-8, 0, 3),
+            ndraws=4,
+            verbose=False,
+        )
+
+
+def test_operator_posterior_sampling_stats(rng):
+    means = jnp.asarray(rng.standard_normal((2, 3)))
+    covs = []
+    for _ in range(2):
+        X = rng.standard_normal((3, 3))
+        covs.append(X @ X.T + np.eye(3))
+    post = OperatorPosterior.from_moments(means, np.stack(covs))
+    draws = np.asarray(post.sample(jax.random.PRNGKey(2), 20000))
+    emp_mean = draws.mean(axis=0)
+    np.testing.assert_allclose(emp_mean, means, atol=0.1)
+    for i in range(2):
+        emp_cov = np.cov(draws[:, i, :].T)
+        np.testing.assert_allclose(emp_cov, covs[i], atol=0.25)

@@ -1,0 +1,100 @@
+"""End-to-end pipeline tests (tiny workloads) and multi-device dry runs."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.mark.slow
+def test_seird_pipeline_end_to_end():
+    from gp_bayesopinf_tpu.pipeline.odes import run_seird
+
+    res = run_seird(
+        training_span=(0.0, 90.0),
+        num_samples=40,
+        noiselevel=0.10,
+        num_regression_points=120,
+        ndraws=40,
+        verbose=False,
+        crosscheck=True,
+    )
+    valid = res.valid
+    assert valid.sum() >= 30
+    mean_traj = res.draws[valid].mean(axis=0)
+    err = np.linalg.norm(mean_traj - res.true_states) / np.linalg.norm(
+        res.true_states
+    )
+    assert err < 0.10, f"ensemble error {err:.2%}"
+    # Independent-backend crosscheck (the reference fork's dual-backend
+    # comparison): JAX and LAPACK agree tightly at equal hyperparameters.
+    assert res.crosscheck["state_estimate"] < 1e-6
+    assert res.crosscheck["ddt_estimate"] < 1e-5
+    assert res.crosscheck["sqrtW"] < 1e-5  # relative to matrix scale
+    # New-IC generalization ensemble exists and is mostly finite.
+    assert res.newic_draws.shape[0] == 40
+
+
+def test_cli_parser_surface():
+    from gp_bayesopinf_tpu.pipeline.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["euler", "0.06", "200", "0.03", "400", "6",
+                         "--ndraws", "600", "--gpreg", "1e-8"])
+    assert args.pipeline == "euler"
+    assert args.numPODmodes == 6
+    assert args.ndraws == 600
+    args = p.parse_args(["seird", "90", "90", "0.1", "360", "--crosscheck"])
+    assert args.crosscheck
+    with pytest.raises(SystemExit):
+        p.parse_args(["euler", "0.06"])  # missing required args
+
+
+def test_workload_grids_match_reference():
+    from gp_bayesopinf_tpu.pipeline.experiments import (
+        EULER_WORKLOADS,
+        SEIRD_WORKLOADS,
+        HEAT_WORKLOADS,
+        NDRAWS_PAPER,
+    )
+
+    assert EULER_WORKLOADS["ex1a"] == (0.06, 200, 0.03, 400, 6)
+    assert EULER_WORKLOADS["ex1c"][3] == 3200
+    assert SEIRD_WORKLOADS["ex1a"] == (90, 90, 0.10, 360)
+    assert HEAT_WORKLOADS["ex3"] == (1.0, 20, 0.05, 80, 5)
+    assert NDRAWS_PAPER == 600
+
+
+def test_graft_entry_single():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    means, mean_traj = out
+    assert np.all(np.isfinite(np.asarray(means)))
+    assert np.all(np.isfinite(np.asarray(mean_traj)))
+
+
+def test_graft_dryrun_multichip():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_gram_pod_matches_svd(rng):
+    from gp_bayesopinf_tpu.parallel import make_mesh, sharded_gram_pod
+
+    X = rng.standard_normal((64, 12))
+    mesh = make_mesh({"seq": -1})
+    U, svdvals = sharded_gram_pod(jnp.asarray(X), 5, mesh=mesh, row_axis="seq")
+    U_ref, S_ref, _ = np.linalg.svd(X, full_matrices=False)
+    np.testing.assert_allclose(np.asarray(svdvals), S_ref, atol=1e-8)
+    # Left singular vectors up to sign.
+    for j in range(5):
+        a, b = np.asarray(U[:, j]), U_ref[:, j]
+        assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-6
