@@ -176,7 +176,7 @@ def make_tpu_fn():
     from gp_bayesopinf_tpu.solve.ivp import stability_mask
     from gp_bayesopinf_tpu.rom.model import GalerkinROM
 
-    rom = GalerkinROM("cAH", state_dimension=R, substeps=8)
+    rom = GalerkinROM("cAH", state_dimension=R, substeps=4)
     grid = jnp.asarray(np.logspace(-16, 4, NGRID))
 
     def core(ts, Y, t_est, t_pred, hyper, key):
@@ -193,14 +193,20 @@ def make_tpu_fn():
         q0 = states[:, 0]
         norm = jnp.linalg.norm(states)
 
+        # Grid screening in f32: stability gating + candidate ranking only.
+        f32 = jnp.float32
+        q0s, tps, tes = q0.astype(f32), t_pred.astype(f32), t_est.astype(f32)
+        shifts, limitss = shift.astype(f32), limits.astype(f32)
+        statess, norms = states.astype(f32), norm.astype(f32)
+
         def candidate(lam, k):
-            ohats = fac.sample(lam, k, NDRAWS_GRID)
-            sol_p = jax.vmap(lambda O: rom.predict(O, q0, t_pred))(ohats)
-            sol_e = jax.vmap(lambda O: rom.predict(O, q0, t_est))(ohats)
-            stable = jnp.all(stability_mask(sol_p, shift, limits)) & jnp.all(
-                stability_mask(sol_e, shift, limits)
+            ohats = fac.sample(lam, k, NDRAWS_GRID).astype(f32)
+            sol_p = jax.vmap(lambda O: rom.predict(O, q0s, tps))(ohats)
+            sol_e = jax.vmap(lambda O: rom.predict(O, q0s, tes))(ohats)
+            stable = jnp.all(stability_mask(sol_p, shifts, limitss)) & jnp.all(
+                stability_mask(sol_e, shifts, limitss)
             )
-            err = jnp.linalg.norm(jnp.mean(sol_e, axis=0) - states) / norm
+            err = jnp.linalg.norm(jnp.mean(sol_e, axis=0) - statess) / norms
             err = jnp.where(jnp.isfinite(err), err, 1e12)
             return jnp.where(stable, err, 1e12)
 
@@ -208,6 +214,7 @@ def make_tpu_fn():
         errs = jax.vmap(candidate)(grid, keys[:-1])
         lam = grid[jnp.argmin(errs)]
 
+        # Final 1000-draw ensemble at full precision.
         ohats = fac.sample(lam, keys[-1], NDRAWS_ENS)
         sols = jax.vmap(lambda O: rom.predict(O, q0, t_pred))(ohats)
         ok = stability_mask(sols, shift, limits)

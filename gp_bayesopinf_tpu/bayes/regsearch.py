@@ -48,6 +48,7 @@ def _make_objective(
     t_est: jnp.ndarray,
     snapshots_est: jnp.ndarray,
     ndraws: int,
+    screen_dtype=None,
 ):
     """Build the jitted per-candidate objective.
 
@@ -67,30 +68,38 @@ def _make_objective(
     )  # (L, r)
     norms = jnp.sqrt(jnp.sum(snapshots_est**2, axis=(1, 2)))  # (L,)
 
+    # Candidate screening may run in reduced precision: the integrations
+    # here only gate stability and rank candidates; the selected lambda's
+    # posterior is rebuilt downstream at full precision.
+    cast = (lambda x: x.astype(screen_dtype)) if screen_dtype else (lambda x: x)
+    t_pred_s, t_est_s = cast(t_pred), cast(t_est)
+    shifts_s, limits_s = cast(shifts), cast(limits)
+    snaps_s, norms_s = cast(snapshots_est), cast(norms)
+
     def objective(lam, key):
         """Objective for a single regularization candidate."""
         spd = lstsq.posterior_spd(lam)
-        ohats = lstsq.sample(lam, key, ndraws)  # (ndraws, r, d)
+        ohats = cast(lstsq.sample(lam, key, ndraws))  # (ndraws, r, d)
 
         total_err = 0.0
         all_stable = spd
         for ell in range(L):
-            q0 = initial_conditions[ell]
+            q0 = cast(initial_conditions[ell])
             sol_pred = jax.vmap(
-                lambda O: predict_fns[ell](O, q0, t_pred)
+                lambda O: predict_fns[ell](O, q0, t_pred_s)
             )(ohats)
             sol_est = jax.vmap(
-                lambda O: predict_fns[ell](O, q0, t_est)
+                lambda O: predict_fns[ell](O, q0, t_est_s)
             )(ohats)
             stable = jnp.all(
-                stability_mask(sol_pred, shifts[ell], limits[ell])
-            ) & jnp.all(stability_mask(sol_est, shifts[ell], limits[ell]))
+                stability_mask(sol_pred, shifts_s[ell], limits_s[ell])
+            ) & jnp.all(stability_mask(sol_est, shifts_s[ell], limits_s[ell]))
             all_stable = all_stable & stable
 
             mean_sol = jnp.mean(sol_est, axis=0)  # (r, m')
             err = (
-                jnp.sqrt(jnp.sum((mean_sol - snapshots_est[ell]) ** 2))
-                / norms[ell]
+                jnp.sqrt(jnp.sum((mean_sol - snaps_s[ell]) ** 2))
+                / norms_s[ell]
             )
             total_err = total_err + err
 
@@ -112,6 +121,7 @@ def auto_regularize(
     grid: Optional[np.ndarray] = None,
     ndraws: int = 20,
     verbose: bool = True,
+    screen_dtype=None,
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
@@ -132,6 +142,7 @@ def auto_regularize(
         jnp.asarray(t_est),
         snapshots_est,
         ndraws,
+        screen_dtype=screen_dtype,
     )
     batched = jax.jit(jax.vmap(objective))
     single = jax.jit(objective)

@@ -46,6 +46,7 @@ def rk4_solve(
     q0: jnp.ndarray,
     t_eval: jnp.ndarray,
     substeps: int = 8,
+    unroll: int = 4,
 ) -> jnp.ndarray:
     """Integrate dq/dt = rhs(t, q) with classical RK4.
 
@@ -54,31 +55,43 @@ def rk4_solve(
     rhs : callable (t, q) -> dq/dt. Closed over any operators/inputs.
     q0 : (n,) array — initial state at ``t_eval[0]``.
     t_eval : (k,) array — output times (may be non-uniform).
-    substeps : int — RK4 steps per output interval (static).
+    substeps : int — RK4 steps per output interval (static; unrolled in
+        the step body so the sequential dimension carries no loop
+        machinery).
+    unroll : int — ``lax.scan`` unroll factor over output intervals;
+        amortizes per-step dispatch overhead for the tiny state sizes
+        typical of ROM ensembles.
 
     Returns
     -------
     (n, k) array of states at ``t_eval`` (first column is ``q0``).
     """
 
+    def rk4_step(t, q, h):
+        k1 = rhs(t, q)
+        k2 = rhs(t + 0.5 * h, q + 0.5 * h * k1)
+        k3 = rhs(t + 0.5 * h, q + 0.5 * h * k2)
+        k4 = rhs(t + h, q + h * k3)
+        return _clip_state(q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4))
+
     def step_interval(q, t_pair):
         t0, t1 = t_pair
         h = (t1 - t0) / substeps
-
-        def substep(i, q):
-            t = t0 + i * h
-            k1 = rhs(t, q)
-            k2 = rhs(t + 0.5 * h, q + 0.5 * h * k1)
-            k3 = rhs(t + 0.5 * h, q + 0.5 * h * k2)
-            k4 = rhs(t + h, q + h * k3)
-            q = q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-            return _clip_state(q)
-
-        q = jax.lax.fori_loop(0, substeps, substep, q)
+        if substeps <= 8:
+            # Unrolled: no loop machinery on the sequential path.
+            for i in range(substeps):
+                q = rk4_step(t0 + i * h, q, h)
+        else:
+            # Large substep counts (CFL-limited FOM solves): rolled loop
+            # keeps the compiled graph small.
+            q = jax.lax.fori_loop(
+                0, substeps, lambda i, q: rk4_step(t0 + i * h, q, h), q
+            )
         return q, q
 
     t_pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=1)
-    _, qs = jax.lax.scan(step_interval, q0, t_pairs)
+    eff_unroll = unroll if substeps <= 8 else 1
+    _, qs = jax.lax.scan(step_interval, q0, t_pairs, unroll=eff_unroll)
     return jnp.concatenate([q0[None, :], qs], axis=0).T
 
 
@@ -92,6 +105,7 @@ def dirk2_solve(
     jac: Optional[Callable] = None,
     substeps: int = 2,
     newton_iters: int = 6,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Integrate a stiff system with 2-stage L-stable SDIRK + Newton.
 
@@ -131,20 +145,16 @@ def dirk2_solve(
     def step_interval(q, t_pair):
         t0, t1 = t_pair
         h = (t1 - t0) / substeps
-
-        def substep(i, q):
+        for i in range(substeps):
             t = t0 + i * h
             k1 = solve_stage(t + _GAMMA * h, q, h, rhs(t, q))
             base2 = q + h * (1.0 - _GAMMA) * k1
             k2 = solve_stage(t + h, base2, h, k1)
-            q = q + h * ((1.0 - _GAMMA) * k1 + _GAMMA * k2)
-            return _clip_state(q)
-
-        q = jax.lax.fori_loop(0, substeps, substep, q)
+            q = _clip_state(q + h * ((1.0 - _GAMMA) * k1 + _GAMMA * k2))
         return q, q
 
     t_pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=1)
-    _, qs = jax.lax.scan(step_interval, q0, t_pairs)
+    _, qs = jax.lax.scan(step_interval, q0, t_pairs, unroll=unroll)
     return jnp.concatenate([q0[None, :], qs], axis=0).T
 
 
