@@ -176,8 +176,15 @@ def make_tpu_fn():
     from gp_bayesopinf_tpu.solve.ivp import stability_mask
     from gp_bayesopinf_tpu.rom.model import GalerkinROM
 
+    from gp_bayesopinf_tpu.ops.ensemble_pallas import (
+        expand_cah_operators,
+        quadratic_ensemble_screen,
+        quadratic_ensemble_screen_xla,
+    )
+
     rom = GalerkinROM("cAH", state_dimension=R, substeps=4)
     grid = jnp.asarray(np.logspace(-16, 4, NGRID))
+    use_pallas = jax.default_backend() == "tpu"
 
     def core(ts, Y, t_est, t_pred, hyper, key):
         ests = jax.vmap(
@@ -191,30 +198,36 @@ def make_tpu_fn():
         shift = jnp.mean(states, axis=1)
         limits = 5.0 * jnp.max(jnp.abs(states - shift[:, None]), axis=1)
         q0 = states[:, 0]
-        norm = jnp.linalg.norm(states)
 
-        # Grid screening in f32: stability gating + candidate ranking only.
-        f32 = jnp.float32
-        q0s, tps, tes = q0.astype(f32), t_pred.astype(f32), t_est.astype(f32)
-        shifts, limitss = shift.astype(f32), limits.astype(f32)
-        statess, norms = states.astype(f32), norm.astype(f32)
-
-        def candidate(lam, k):
-            ohats = fac.sample(lam, k, NDRAWS_GRID).astype(f32)
-            sol_p = jax.vmap(lambda O: rom.predict(O, q0s, tps))(ohats)
-            sol_e = jax.vmap(lambda O: rom.predict(O, q0s, tes))(ohats)
-            stable = jnp.all(stability_mask(sol_p, shifts, limitss)) & jnp.all(
-                stability_mask(sol_e, shifts, limitss)
-            )
-            err = jnp.linalg.norm(jnp.mean(sol_e, axis=0) - statess) / norms
-            err = jnp.where(jnp.isfinite(err), err, 1e12)
-            return jnp.where(stable, err, 1e12)
-
+        # Grid screening in f32 via the Pallas megakernel: all G x ndraws
+        # draw states stay in VMEM; trajectories never touch HBM.
         keys = jax.random.split(key, NGRID + 1)
-        errs = jax.vmap(candidate)(grid, keys[:-1])
+        ohats = jax.vmap(
+            lambda lam, k: fac.sample(lam, k, NDRAWS_GRID)
+        )(grid, keys[:-1]).reshape(NGRID * NDRAWS_GRID, R, -1)
+        Fops = expand_cah_operators(ohats.astype(jnp.float32), R)
+
+        screen = quadratic_ensemble_screen if use_pallas else (
+            lambda *a, **kw: quadratic_ensemble_screen_xla(
+                *a, **{k: v for k, v in kw.items() if k != "interpret"}
+            )
+        )
+        st_p, _ = screen(Fops, q0, t_pred, shift, limits,
+                         substeps=4, nd=NDRAWS_GRID)
+        st_e, mean_e = screen(Fops, q0, t_est, shift, limits,
+                              substeps=4, nd=NDRAWS_GRID)
+        stable = (
+            jnp.all(st_p.reshape(NGRID, NDRAWS_GRID), axis=1)
+            & jnp.all(st_e.reshape(NGRID, NDRAWS_GRID), axis=1)
+        )
+        statess = states.astype(jnp.float32)
+        errs = jnp.linalg.norm(
+            mean_e - statess[None], axis=(1, 2)
+        ) / jnp.linalg.norm(statess)
+        errs = jnp.where(stable & jnp.isfinite(errs), errs, 1e12)
         lam = grid[jnp.argmin(errs)]
 
-        # Final 1000-draw ensemble at full precision.
+        # Final 1000-draw ensemble at full precision (XLA, f64).
         ohats = fac.sample(lam, keys[-1], NDRAWS_ENS)
         sols = jax.vmap(lambda O: rom.predict(O, q0, t_pred))(ohats)
         ok = stability_mask(sols, shift, limits)

@@ -7,6 +7,7 @@ matrix stage. This keeps that surface and adds an accumulating
 hooks into ``jax.profiler`` traces.
 """
 
+import contextlib
 import logging
 import time
 from typing import Dict, Optional
@@ -67,3 +68,15 @@ class StageTimer:
         lines = [f"{k}: {v:.4f} s" for k, v in self.times.items()]
         lines.append(f"TOTAL: {sum(self.times.values()):.4f} s")
         return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """Capture a ``jax.profiler`` device trace for the enclosed block
+    (view with TensorBoard / xprof). The deep-profiling complement to the
+    TimedBlock wall-clocks (SURVEY.md section 5, tracing)."""
+    import jax
+
+    with jax.profiler.trace(logdir):
+        yield
+    logging.info(f"jax profiler trace written to {logdir}")

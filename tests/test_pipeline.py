@@ -98,3 +98,25 @@ def test_sharded_gram_pod_matches_svd(rng):
     for j in range(5):
         a, b = np.asarray(U[:, j]), U_ref[:, j]
         assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-6
+
+
+def test_scaled_pipeline_on_mesh():
+    """North-star scaled config mechanics on the 8-device CPU mesh."""
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+    from gp_bayesopinf_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"draw": 4, "mode": 2})
+    res = run_scaled(
+        mesh=mesh,
+        n_space=128,
+        n_snapshots=300,
+        num_modes=4,
+        num_gp_samples=80,
+        num_regression_points=96,
+        n_restarts=2,
+        ndraws=16,
+        grid_size=8,
+    )
+    assert res.stable_fraction > 0.5
+    assert np.all(np.isfinite(res.ensemble_mean))
+    assert res.svdvals.shape[0] == 300
