@@ -110,6 +110,74 @@ def _make_objective(
     return objective
 
 
+def _make_kernel_objective(
+    lstsq: WeightedLSTSQ,
+    rom,
+    initial_conditions: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    t_est: jnp.ndarray,
+    snapshots_est: jnp.ndarray,
+    ndraws: int,
+    use_pallas: bool,
+):
+    """Batched grid objective backed by the ensemble-screening megakernel
+    (autonomous "cAH" ROMs). Semantically identical to ``_make_objective``
+    vmapped over candidates, but all draw states stay in VMEM and
+    trajectories are never materialized."""
+    import jax
+
+    from ..ops.ensemble_pallas import (
+        expand_cah_operators,
+        quadratic_ensemble_screen,
+        quadratic_ensemble_screen_xla,
+    )
+
+    L = snapshots_est.shape[0]
+    r = rom.state_dimension
+    shifts = jnp.mean(snapshots_est, axis=2)
+    limits = 5.0 * jnp.max(jnp.abs(snapshots_est - shifts[:, :, None]), axis=2)
+    norms = jnp.sqrt(jnp.sum(snapshots_est**2, axis=(1, 2))).astype(jnp.float32)
+    snaps32 = snapshots_est.astype(jnp.float32)
+
+    def screen(F, q0, t, shift, lim):
+        if use_pallas:
+            return quadratic_ensemble_screen(
+                F, q0, t, shift, lim, substeps=rom.substeps, nd=ndraws
+            )
+        return quadratic_ensemble_screen_xla(
+            F, q0, t, shift, lim, substeps=rom.substeps, nd=ndraws
+        )
+
+    def grid_objective(lams, keys):
+        G = lams.shape[0]
+        spd = jax.vmap(lstsq.posterior_spd)(lams)
+        ohats = jax.vmap(lambda lam, k: lstsq.sample(lam, k, ndraws))(
+            lams, keys
+        ).reshape(G * ndraws, r, -1)
+        F = expand_cah_operators(ohats.astype(jnp.float32), r)
+
+        stable = spd
+        err = jnp.zeros(G, dtype=jnp.float32)
+        for ell in range(L):
+            st_p, _ = screen(F, initial_conditions[ell], t_pred,
+                             shifts[ell], limits[ell])
+            st_e, mean_e = screen(F, initial_conditions[ell], t_est,
+                                  shifts[ell], limits[ell])
+            stable = stable & jnp.all(
+                st_p.reshape(G, ndraws) & st_e.reshape(G, ndraws), axis=1
+            )
+            err = err + jnp.linalg.norm(
+                mean_e - snaps32[ell][None], axis=(1, 2)
+            ) / norms[ell]
+
+        err = err / L
+        return jnp.where(
+            stable & jnp.isfinite(err), err.astype(jnp.float64), MAXOPTVAL
+        )
+
+    return jax.jit(grid_objective)
+
+
 def auto_regularize(
     lstsq: WeightedLSTSQ,
     predict_fns: Sequence[Callable],
@@ -122,11 +190,17 @@ def auto_regularize(
     ndraws: int = 20,
     verbose: bool = True,
     screen_dtype=None,
+    rom=None,
+    use_kernel: Optional[bool] = None,
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
     See ``_make_objective`` for the trajectory-batched arguments. For the
     single-trajectory pipelines pass length-1 sequences / leading axes.
+
+    When ``rom`` is an autonomous "cAH" ``GalerkinROM``, the grid phase can
+    run through the Pallas ensemble-screening megakernel (``use_kernel``;
+    defaults to True on TPU backends).
     """
     grid = DEFAULT_GRID_PDE if grid is None else np.sort(np.atleast_1d(grid))
     initial_conditions = jnp.atleast_2d(jnp.asarray(initial_conditions))
@@ -134,18 +208,46 @@ def auto_regularize(
     if snapshots_est.ndim == 2:
         snapshots_est = snapshots_est[None]
 
-    objective = _make_objective(
-        lstsq,
-        predict_fns,
-        initial_conditions,
-        jnp.asarray(t_pred),
-        jnp.asarray(t_est),
-        snapshots_est,
-        ndraws,
-        screen_dtype=screen_dtype,
+    import jax as _jax
+
+    kernel_eligible = (
+        rom is not None
+        and getattr(rom, "structure", None) == "cAH"
+        and getattr(rom, "input_dimension", 0) == 0
     )
-    batched = jax.jit(jax.vmap(objective))
-    single = jax.jit(objective)
+    if use_kernel is None:
+        use_kernel = kernel_eligible and _jax.default_backend() == "tpu"
+    elif use_kernel and not kernel_eligible:
+        raise ValueError("use_kernel requires an autonomous 'cAH' GalerkinROM")
+
+    if use_kernel:
+        grid_objective = _make_kernel_objective(
+            lstsq,
+            rom,
+            initial_conditions,
+            jnp.asarray(t_pred),
+            jnp.asarray(t_est),
+            snapshots_est,
+            ndraws,
+            use_pallas=_jax.default_backend() == "tpu",
+        )
+        batched = lambda lams, keys: grid_objective(lams, keys)
+        single = lambda lam, k: grid_objective(
+            jnp.asarray(lam)[None], k[None]
+        )[0]
+    else:
+        objective = _make_objective(
+            lstsq,
+            predict_fns,
+            initial_conditions,
+            jnp.asarray(t_pred),
+            jnp.asarray(t_est),
+            snapshots_est,
+            ndraws,
+            screen_dtype=screen_dtype,
+        )
+        batched = jax.jit(jax.vmap(objective))
+        single = jax.jit(objective)
 
     if len(grid) == 1:
         best_reg = float(grid[0])

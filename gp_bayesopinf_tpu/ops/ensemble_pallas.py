@@ -62,19 +62,24 @@ def expand_cah_operators(Ohat: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def _screen_kernel(
     t_ref,  # SMEM (k,)
-    F_ref,  # VMEM (N, r, Z)
+    Fc_ref,  # VMEM (N, r)
+    FA_ref,  # VMEM (N, r, r)
+    FH_ref,  # VMEM (N, r, r*r)
     q0_ref,  # VMEM (N, r)
     shift_ref,  # VMEM (1, r)
     limits_ref,  # VMEM (1, r)
     stable_ref,  # out VMEM (N, r) int32 (reduced to per-draw outside)
-    sum_ref,  # out VMEM (G, k_out, r) f32
+    sum_ref,  # out VMEM (k_out, G, r) f32 (time-major: dynamic stores
+    #           index the leading axis, which Mosaic supports)
     *,
     substeps: int,
     nd: int,
     k: int,
     limit_cap: float,
 ):
-    F = F_ref[:]  # (N, r, Z)
+    Fc = Fc_ref[:]  # (N, r)
+    FA = FA_ref[:]  # (N, r, r)
+    FH = FH_ref[:]  # (N, r, r*r)
     q = q0_ref[:]  # (N, r)
     N, r = q.shape
     G = N // nd
@@ -82,17 +87,22 @@ def _screen_kernel(
     limits = limits_ref[0, :]  # (r,)
 
     def rhs(q):
-        ones = jnp.ones((N, 1), dtype=q.dtype)
-        qq = (q[:, :, None] * q[:, None, :]).reshape(N, r * r)
-        feats = jnp.concatenate([ones, q, qq], axis=1)  # (N, Z)
-        return jnp.sum(F * feats[:, None, :], axis=2)  # (N, r)
+        # dq[n,i] = c + sum_a A[n,i,a] q[n,a]
+        #             + sum_a q[n,a] * sum_b H[n,i,a,b] q[n,b].
+        # Only <=3D tensors and last-axis reductions (Mosaic-friendly);
+        # the H contraction unrolls over the (small, static) state index.
+        acc = Fc + jnp.sum(FA * q[:, None, :], axis=2)
+        for a in range(r):
+            Ha = FH[:, :, a * r : (a + 1) * r]  # (N, r, r) static slice
+            acc = acc + q[:, a][:, None] * jnp.sum(Ha * q[:, None, :], axis=2)
+        return acc
 
     def clip(q):
         return jnp.clip(q, -limit_cap, limit_cap)
 
     # Worst deviation from the envelope center, tracked across ALL steps.
     maxdev0 = jnp.abs(q - shift[None, :])
-    sum_ref[:, 0, :] = jnp.sum(q.reshape(G, nd, r), axis=1)
+    sum_ref[0] = jnp.sum(q.reshape(G, nd, r), axis=1)
 
     one = jnp.int32(1)
 
@@ -109,7 +119,7 @@ def _screen_kernel(
             k4 = rhs(clip(q + h * k3))
             q = clip(q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4))
         maxdev = jnp.maximum(maxdev, jnp.abs(q - shift[None, :]))
-        sum_ref[:, i, :] = jnp.sum(q.reshape(G, nd, r), axis=1)
+        sum_ref[i] = jnp.sum(q.reshape(G, nd, r), axis=1)
         return q, maxdev
 
     q, maxdev = jax.lax.fori_loop(jnp.int32(1), jnp.int32(k), interval, (q, maxdev0))
@@ -142,6 +152,9 @@ def quadratic_ensemble_screen(
     k = t_eval.shape[0]
     G = N // nd
     q0b = jnp.broadcast_to(q0.astype(f32), (N, r))
+    Fc = Fops[:, :, 0]
+    FA = Fops[:, :, 1 : 1 + r]
+    FH = Fops[:, :, 1 + r :]
 
     # The divergence clamp must dominate the envelope so clipped draws
     # still register as outside it.
@@ -157,10 +170,12 @@ def quadratic_ensemble_screen(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, r), jnp.int32),
-            jax.ShapeDtypeStruct((G, k, r), f32),
+            jax.ShapeDtypeStruct((k, G, r), f32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -173,13 +188,15 @@ def quadratic_ensemble_screen(
         interpret=interpret,
     )(
         t_eval.astype(f32),
-        Fops,
+        Fc,
+        FA,
+        FH,
         q0b,
         shift.astype(f32)[None, :],
         limits.astype(f32)[None, :],
     )
     stable = jnp.all(stable2d == 1, axis=1)
-    mean_sol = jnp.swapaxes(sums, 1, 2) / nd  # (G, r, k)
+    mean_sol = jnp.transpose(sums, (1, 2, 0)) / nd  # (G, r, k)
     return stable, mean_sol
 
 

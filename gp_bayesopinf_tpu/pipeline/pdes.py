@@ -145,6 +145,7 @@ def run_euler(
             grid=config.reg_grid,
             ndraws=20,
             verbose=verbose,
+            rom=rom,
         )
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianROM(rom, posterior, res.regularizer)

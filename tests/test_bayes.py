@@ -125,3 +125,46 @@ def test_operator_posterior_sampling_stats(rng):
     for i in range(2):
         emp_cov = np.cov(draws[:, i, :].T)
         np.testing.assert_allclose(emp_cov, covs[i], atol=0.25)
+
+
+def test_auto_regularize_kernel_path_matches(linear_problem):
+    """The megakernel-backed grid objective ranks candidates like the
+    generic objective (same stability gating; draw noise differs)."""
+    rom_ca, fac, Q, t, q0, _ = linear_problem
+    # Kernel path needs "cAH"; rebuild the regression with cAH features.
+    rom = GalerkinROM("cAH", state_dimension=3, substeps=4)
+    D = rom.data_matrix(jnp.asarray(Q))[None]
+    sqrtW = jnp.asarray(
+        np.broadcast_to(30.0 * np.eye(Q.shape[1]), (3, 1, Q.shape[1], Q.shape[1])).copy()
+    )
+    A_true = np.diag([-0.6, -1.1, -1.7])
+    rhs = jnp.asarray((A_true @ Q)[:, None, :])
+    fac2 = __import__("gp_bayesopinf_tpu.solve", fromlist=["weighted_lstsq_fit"]).weighted_lstsq_fit(D, sqrtW, rhs)
+
+    kw = dict(
+        initial_conditions=jnp.asarray(q0)[None],
+        t_pred=jnp.asarray(t),
+        t_est=jnp.asarray(t),
+        snapshots_est=jnp.asarray(Q)[None],
+        grid=np.logspace(-8, 1, 7),
+        ndraws=8,
+        verbose=False,
+    )
+    res_gen = auto_regularize(
+        fac2, [lambda O, q, tt: rom.predict(O, q, tt)],
+        key=jax.random.PRNGKey(5), **kw,
+    )
+    res_ker = auto_regularize(
+        fac2, [lambda O, q, tt: rom.predict(O, q, tt)],
+        key=jax.random.PRNGKey(5), rom=rom, use_kernel=True, **kw,
+    )
+    # Same stability classification on the grid.
+    np.testing.assert_array_equal(
+        res_gen.grid_errors >= 1e12, res_ker.grid_errors >= 1e12
+    )
+    # Errors agree to screening precision where stable.
+    ok = res_gen.grid_errors < 1e12
+    if ok.any():
+        np.testing.assert_allclose(
+            res_gen.grid_errors[ok], res_ker.grid_errors[ok], rtol=2e-2, atol=1e-4
+        )
