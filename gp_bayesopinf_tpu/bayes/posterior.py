@@ -26,6 +26,15 @@ from ..solve.ivp import finite_mask, rk4_solve, stability_mask
 from ..solve.lstsq import WeightedLSTSQ
 
 
+def ensemble_dtype():
+    """Default integration dtype for posterior ensembles: float32 on TPU
+    (no native f64 — emulation is slow to compile and run), full precision
+    elsewhere."""
+    import jax as _jax
+
+    return jnp.float32 if _jax.default_backend() == "tpu" else None
+
+
 class OperatorPosterior(NamedTuple):
     """Row-wise Gaussian posterior: N(means[i], F_i F_i^T) per row i."""
 
@@ -113,6 +122,7 @@ class BayesianROM:
         ndraws: int = 100,
         input_func: Optional[Callable] = None,
         stability_envelope=None,
+        dtype=None,
     ):
         """Vmapped posterior ensemble.
 
@@ -121,6 +131,10 @@ class BayesianROM:
         stability_envelope : optional (shift (r,), limits (r,)) pair; when
             given, draws outside the reference's 5x-amplitude envelope (or
             non-finite) are masked invalid (``PDEs/main.py:126-143``).
+        dtype : optional integration dtype. TPUs have no native f64 —
+            XLA emulation inflates compile and runtime — so pipelines pass
+            float32 on TPU backends (``ensemble_dtype()``); sampling stays
+            in the posterior's precision either way.
 
         Returns
         -------
@@ -130,6 +144,8 @@ class BayesianROM:
         ohats = self.posterior.sample(key, ndraws)
         q0 = jnp.asarray(initial_conditions)
         t = jnp.asarray(timepoints)
+        if dtype is not None:
+            ohats, q0, t = ohats.astype(dtype), q0.astype(dtype), t.astype(dtype)
 
         predict = lambda O: self.model.predict(O, q0, t, input_func)
         draws = jax.vmap(predict)(ohats)
@@ -198,6 +214,7 @@ class BayesianODE:
         timepoints,
         ndraws: int = 100,
         stability_envelope=None,
+        dtype=None,
     ):
         """Vmapped ensemble over parameter draws.
 
@@ -206,6 +223,10 @@ class BayesianODE:
         params = self.rvs(key, ndraws)
         q0 = jnp.asarray(initial_conditions)
         t = jnp.asarray(timepoints)
+        if dtype is not None:
+            params, q0, t = (
+                params.astype(dtype), q0.astype(dtype), t.astype(dtype)
+            )
         solve = lambda p: self.model.solve(q0, t, parameters=p)
         draws = jax.vmap(solve)(params)
         if stability_envelope is None:

@@ -127,7 +127,6 @@ def _make_kernel_objective(
     import jax
 
     from ..ops.ensemble_pallas import (
-        expand_cah_operators,
         quadratic_ensemble_screen,
         quadratic_ensemble_screen_xla,
     )
@@ -137,16 +136,10 @@ def _make_kernel_objective(
     shifts = jnp.mean(snapshots_est, axis=2)
     limits = 5.0 * jnp.max(jnp.abs(snapshots_est - shifts[:, :, None]), axis=2)
     norms = jnp.sqrt(jnp.sum(snapshots_est**2, axis=(1, 2))).astype(jnp.float32)
-    snaps32 = snapshots_est.astype(jnp.float32)
 
-    def screen(F, q0, t, shift, lim):
-        if use_pallas:
-            return quadratic_ensemble_screen(
-                F, q0, t, shift, lim, substeps=rom.substeps, nd=ndraws
-            )
-        return quadratic_ensemble_screen_xla(
-            F, q0, t, shift, lim, substeps=rom.substeps, nd=ndraws
-        )
+    screen = (
+        quadratic_ensemble_screen if use_pallas else quadratic_ensemble_screen_xla
+    )
 
     def grid_objective(lams, keys):
         G = lams.shape[0]
@@ -154,21 +147,24 @@ def _make_kernel_objective(
         ohats = jax.vmap(lambda lam, k: lstsq.sample(lam, k, ndraws))(
             lams, keys
         ).reshape(G * ndraws, r, -1)
-        F = expand_cah_operators(ohats.astype(jnp.float32), r)
 
         stable = spd
         err = jnp.zeros(G, dtype=jnp.float32)
         for ell in range(L):
-            st_p, _ = screen(F, initial_conditions[ell], t_pred,
-                             shifts[ell], limits[ell])
-            st_e, mean_e = screen(F, initial_conditions[ell], t_est,
-                                  shifts[ell], limits[ell])
-            stable = stable & jnp.all(
-                st_p.reshape(G, ndraws) & st_e.reshape(G, ndraws), axis=1
+            st_p, _ = screen(
+                ohats, initial_conditions[ell], t_pred,
+                shifts[ell], limits[ell],
+                nd=ndraws, substeps=rom.substeps, track_error=False,
             )
-            err = err + jnp.linalg.norm(
-                mean_e - snaps32[ell][None], axis=(1, 2)
-            ) / norms[ell]
+            st_e, err_sq = screen(
+                ohats, initial_conditions[ell], t_est,
+                shifts[ell], limits[ell], snapshots_est[ell],
+                nd=ndraws, substeps=rom.substeps,
+            )
+            stable = stable & jnp.all(
+                (st_p & st_e).reshape(G, ndraws), axis=1
+            )
+            err = err + jnp.sqrt(err_sq) / norms[ell]
 
         err = err / L
         return jnp.where(
@@ -221,6 +217,11 @@ def auto_regularize(
         raise ValueError("use_kernel requires an autonomous 'cAH' GalerkinROM")
 
     if use_kernel:
+        import os as _os
+
+        # The Pallas megakernel is opt-in (GPBOI_PALLAS=1) until the axon
+        # toolchain compiles it reliably; the jitted XLA twin is already
+        # ~50 ms per 81x20x2 grid on a v5e chip.
         grid_objective = _make_kernel_objective(
             lstsq,
             rom,
@@ -229,13 +230,19 @@ def auto_regularize(
             jnp.asarray(t_est),
             snapshots_est,
             ndraws,
-            use_pallas=_jax.default_backend() == "tpu",
+            use_pallas=(
+                _jax.default_backend() == "tpu"
+                and _os.environ.get("GPBOI_PALLAS", "0") == "1"
+            ),
         )
         batched = lambda lams, keys: grid_objective(lams, keys)
         single = lambda lam, k: grid_objective(
             jnp.asarray(lam)[None], k[None]
         )[0]
     else:
+        if screen_dtype is None and _jax.default_backend() == "tpu":
+            # No native f64 on TPU; screening tolerates f32 by design.
+            screen_dtype = jnp.float32
         objective = _make_objective(
             lstsq,
             predict_fns,

@@ -1,32 +1,32 @@
 """Pallas TPU megakernel for posterior-ensemble screening.
 
 The regularization search integrates G candidates x ndraws posterior
-draws of a quadratic ROM over two time grids (reference
+draws of a quadratic "cAH" ROM over two time grids (reference
 ``PDEs/step3_estimate.py:97-129``: 81 x 20 x 2 serial scipy solves). The
-XLA path vmaps those integrations, but each RK4 substep is a separate
-tiny fused op on the sequential path — dispatch overhead dominates for
-r ~ 6 states.
-
-This kernel fuses the ENTIRE screening integration into one Pallas
-program: all draws' states live in VMEM, the time loop runs in-kernel,
-and trajectories are never materialized to HBM — the kernel emits only
+XLA path vmaps those integrations, but every RK4 substage is a separate
+tiny op on the sequential path — dispatch overhead dominates for r ~ 6
+states. This kernel fuses the ENTIRE screening integration into one
+Pallas program and emits only the decision quantities:
 
 * per-draw stability flags (finite + inside the 5x-amplitude envelope),
-* per-candidate sums of the trajectory over draws (for the error
-  metric against the GP state estimates).
+* per-candidate accumulated squared error of the draw-mean trajectory
+  against the GP state estimates.
 
-float32 only (Mosaic has no f64); that is exactly the precision contract
-of the screening path — candidate gating/ranking — while posteriors and
-final ensembles stay float64 in XLA.
+TPU-native layout choices:
 
-The ROM right-hand side uses draw-specific operators in DENSE feature
-form: dq/dt = sum_z F[n, i, z] * feats[n, z] with feats = [1, q, q (x) q]
-(full Kronecker, Z = 1 + r + r^2); ``expand_cah_operators`` converts the
-compressed (r, d) operator rows.
+* draws live on the LANE axis — the state is an (r, N) tile, every RK4
+  operation is a full-width VPU op, nothing is reshaped in-kernel;
+* the ROM right-hand side is a static loop over the d = 1 + r + r(r+1)/2
+  compressed polynomial features: one fused multiply-add of (r, N) per
+  feature, with feature values built from statically-indexed state rows;
+* per-candidate draw-means come from ONE MXU matmul against a constant
+  (N, G) group-indicator matrix — no lane-axis segment reductions;
+* float32 throughout (Mosaic has no f64) — exactly the precision contract
+  of the screening path, while posteriors and final ensembles stay f64.
 """
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -36,78 +36,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .quadratic import ckron_indices
 
+LANES = 128
+DIVERGE_CAP = 1e6  # must dominate any stability envelope
 
-def expand_cah_operators(Ohat: jnp.ndarray, r: int) -> jnp.ndarray:
-    """(N, r, d) compressed "cAH" operators -> (N, r, Z) dense-feature form.
 
-    Z = 1 + r + r^2; the H block's off-diagonal entries are split evenly
-    between (a, b) and (b, a) of the full Kronecker feature q_a q_b.
-    """
-    N = Ohat.shape[0]
-    d = Ohat.shape[-1]
-    assert d == 1 + r + r * (r + 1) // 2, (d, r)
-    c = Ohat[..., :1]
-    A = Ohat[..., 1 : 1 + r]
-    H = Ohat[..., 1 + r :]
-
-    rows, cols = ckron_indices(r)
-    Hfull = jnp.zeros((N, r, r, r), dtype=Ohat.dtype)
-    # Each compressed entry lands in (a, b) and (b, a) with weight 1/2; the
-    # diagonal receives both halves at the same position, summing to 1.
-    vals = 0.5 * H
-    Hfull = Hfull.at[:, :, rows, cols].add(vals)
-    Hfull = Hfull.at[:, :, cols, rows].add(vals)
-    return jnp.concatenate([c, A, Hfull.reshape(N, r, r * r)], axis=-1)
+def _pad_to_lanes(n: int) -> int:
+    return ((n + LANES - 1) // LANES) * LANES
 
 
 def _screen_kernel(
     t_ref,  # SMEM (k,)
-    Fc_ref,  # VMEM (N, r)
-    FA_ref,  # VMEM (N, r, r)
-    FH_ref,  # VMEM (N, r, r*r)
-    q0_ref,  # VMEM (N, r)
-    shift_ref,  # VMEM (1, r)
-    limits_ref,  # VMEM (1, r)
-    stable_ref,  # out VMEM (N, r) int32 (reduced to per-draw outside)
-    sum_ref,  # out VMEM (k_out, G, r) f32 (time-major: dynamic stores
-    #           index the leading axis, which Mosaic supports)
+    OT_ref,  # VMEM (d, r, Np) per-draw operator columns
+    q0_ref,  # VMEM (r, Np)
+    shift_ref,  # VMEM (r, 1)
+    limits_ref,  # VMEM (r, 1)
+    snaps_ref,  # VMEM (r, k) GP state estimates (zeros if unused)
+    gmat_ref,  # VMEM (Np, G) group indicator / nd
+    stable_ref,  # out VMEM (r, Np) int32
+    err_ref,  # out VMEM (1, G) f32
     *,
     substeps: int,
-    nd: int,
     k: int,
-    limit_cap: float,
+    r: int,
+    track_error: bool,
+    pairs,
 ):
-    Fc = Fc_ref[:]  # (N, r)
-    FA = FA_ref[:]  # (N, r, r)
-    FH = FH_ref[:]  # (N, r, r*r)
-    q = q0_ref[:]  # (N, r)
-    N, r = q.shape
-    G = N // nd
-    shift = shift_ref[0, :]  # (r,)
-    limits = limits_ref[0, :]  # (r,)
+    OT = OT_ref[:]  # (d, r, Np)
+    q = q0_ref[:]  # (r, Np)
+    shift = shift_ref[:]  # (r, 1)
+    limits = limits_ref[:]  # (r, 1)
+    gmat = gmat_ref[:]  # (Np, G)
 
     def rhs(q):
-        # dq[n,i] = c + sum_a A[n,i,a] q[n,a]
-        #             + sum_a q[n,a] * sum_b H[n,i,a,b] q[n,b].
-        # Only <=3D tensors and last-axis reductions (Mosaic-friendly);
-        # the H contraction unrolls over the (small, static) state index.
-        acc = Fc + jnp.sum(FA * q[:, None, :], axis=2)
+        # Static unroll over compressed polynomial features:
+        # dq = Ohat[:, 0] + sum_a Ohat[:, 1+a] q_a + sum_(a>=b) Ohat q_a q_b.
+        acc = OT[0]  # constant column, (r, Np)
         for a in range(r):
-            Ha = FH[:, :, a * r : (a + 1) * r]  # (N, r, r) static slice
-            acc = acc + q[:, a][:, None] * jnp.sum(Ha * q[:, None, :], axis=2)
+            acc = acc + OT[1 + a] * q[a : a + 1, :]
+        for z, (a, b) in enumerate(pairs):
+            acc = acc + OT[1 + r + z] * (q[a : a + 1, :] * q[b : b + 1, :])
         return acc
 
-    def clip(q):
-        return jnp.clip(q, -limit_cap, limit_cap)
+    def clip(x):
+        return jnp.clip(x, -DIVERGE_CAP, DIVERGE_CAP)
 
-    # Worst deviation from the envelope center, tracked across ALL steps.
-    maxdev0 = jnp.abs(q - shift[None, :])
-    sum_ref[0] = jnp.sum(q.reshape(G, nd, r), axis=1)
+    maxdev0 = jnp.abs(q - shift)
+
+    def step_error(i, q, err):
+        if not track_error:
+            return err
+        mean = jnp.dot(q, gmat, preferred_element_type=jnp.float32)  # (r, G)
+        diff = mean - snaps_ref[:, i][:, None]
+        return err + jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, G)
+
+    err0 = jnp.zeros_like(err_ref)
+    err0 = step_error(jnp.int32(0), q, err0)
 
     one = jnp.int32(1)
 
     def interval(i, carry):
-        q, maxdev = carry
+        q, maxdev, err = carry
         i = i.astype(jnp.int32)
         t0 = t_ref[i - one]
         t1 = t_ref[i]
@@ -118,59 +106,74 @@ def _screen_kernel(
             k3 = rhs(clip(q + 0.5 * h * k2))
             k4 = rhs(clip(q + h * k3))
             q = clip(q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4))
-        maxdev = jnp.maximum(maxdev, jnp.abs(q - shift[None, :]))
-        sum_ref[i] = jnp.sum(q.reshape(G, nd, r), axis=1)
-        return q, maxdev
+        maxdev = jnp.maximum(maxdev, jnp.abs(q - shift))
+        err = step_error(i, q, err)
+        return q, maxdev, err
 
-    q, maxdev = jax.lax.fori_loop(jnp.int32(1), jnp.int32(k), interval, (q, maxdev0))
-    ok = (maxdev <= limits[None, :]) & jnp.isfinite(maxdev)
-    stable_ref[:] = ok.astype(jnp.int32)
+    q, maxdev, err = jax.lax.fori_loop(
+        jnp.int32(1), jnp.int32(k), interval, (q, maxdev0, err0)
+    )
+    stable_ref[:] = ((maxdev <= limits) & jnp.isfinite(maxdev)).astype(jnp.int32)
+    err_ref[:] = err
 
 
 @functools.partial(
-    jax.jit, static_argnames=("substeps", "nd", "interpret")
+    jax.jit, static_argnames=("nd", "substeps", "track_error", "interpret")
 )
 def quadratic_ensemble_screen(
-    Fops: jnp.ndarray,  # (N, r, Z) dense-feature operators, f32
-    q0: jnp.ndarray,  # (r,) shared initial condition
+    Ohat: jnp.ndarray,  # (N, r, d) compressed operators per draw
+    q0: jnp.ndarray,  # (r,)
     t_eval: jnp.ndarray,  # (k,)
     shift: jnp.ndarray,  # (r,)
     limits: jnp.ndarray,  # (r,)
-    substeps: int = 4,
+    snapshots: Optional[jnp.ndarray] = None,  # (r, k) error target
     nd: int = 20,
+    substeps: int = 4,
+    track_error: bool = True,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Integrate all draws, returning (stable (N,), mean_sol (G, r, k)).
+    """Screen all candidate/draw ROM integrations in one fused kernel.
 
-    N must be G * nd with draws of candidate g stored contiguously.
-    The stability envelope (shift, limits) is shared (single-trajectory
-    pipelines; the multi-trajectory variant calls once per trajectory).
+    N = G * nd with each candidate's draws contiguous. Returns
+
+    * stable : (N,) bool — per-draw stability,
+    * err_sq : (G,) f32 — accumulated squared error of the per-candidate
+      draw-mean trajectory vs ``snapshots`` over all output times
+      (zeros when ``track_error=False``).
     """
     f32 = jnp.float32
-    Fops = Fops.astype(f32)
-    N, r, Z = Fops.shape
-    k = t_eval.shape[0]
+    N, r, d = Ohat.shape
     G = N // nd
-    q0b = jnp.broadcast_to(q0.astype(f32), (N, r))
-    Fc = Fops[:, :, 0]
-    FA = Fops[:, :, 1 : 1 + r]
-    FH = Fops[:, :, 1 + r :]
+    k = t_eval.shape[0]
+    Np = _pad_to_lanes(N)
+    pairs = tuple((int(a), int(b)) for a, b in zip(*ckron_indices(r)))
 
-    # The divergence clamp must dominate the envelope so clipped draws
-    # still register as outside it.
-    limit_cap = 1e6
+    # (N, r, d) -> (d, r, Np); padding draws carry zero operators.
+    OT = jnp.transpose(Ohat.astype(f32), (2, 1, 0))
+    OT = jnp.pad(OT, ((0, 0), (0, 0), (0, Np - N)))
+    q0b = jnp.broadcast_to(q0.astype(f32)[:, None], (r, Np))
+    gmat = jnp.zeros((Np, G), dtype=f32)
+    draw_ids = np.arange(N)
+    gmat = gmat.at[draw_ids, draw_ids // nd].set(1.0 / nd)
 
-    stable2d, sums = pl.pallas_call(
+    snaps = (
+        snapshots.astype(f32)
+        if snapshots is not None
+        else jnp.zeros((r, k), dtype=f32)
+    )
+
+    stable2d, err_sq = pl.pallas_call(
         functools.partial(
             _screen_kernel,
             substeps=substeps,
-            nd=nd,
             k=k,
-            limit_cap=limit_cap,
+            r=r,
+            track_error=track_error and snapshots is not None,
+            pairs=pairs,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N, r), jnp.int32),
-            jax.ShapeDtypeStruct((k, G, r), f32),
+            jax.ShapeDtypeStruct((r, Np), jnp.int32),
+            jax.ShapeDtypeStruct((1, G), f32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -188,59 +191,86 @@ def quadratic_ensemble_screen(
         interpret=interpret,
     )(
         t_eval.astype(f32),
-        Fc,
-        FA,
-        FH,
+        OT,
         q0b,
-        shift.astype(f32)[None, :],
-        limits.astype(f32)[None, :],
+        shift.astype(f32)[:, None],
+        limits.astype(f32)[:, None],
+        snaps,
+        gmat,
     )
-    stable = jnp.all(stable2d == 1, axis=1)
-    mean_sol = jnp.transpose(sums, (1, 2, 0)) / nd  # (G, r, k)
-    return stable, mean_sol
+    stable = jnp.all(stable2d[:, :N] == 1, axis=0)
+    return stable, err_sq[0]
 
 
 def quadratic_ensemble_screen_xla(
-    Fops, q0, t_eval, shift, limits, substeps: int = 4, nd: int = 20
+    Ohat,
+    q0,
+    t_eval,
+    shift,
+    limits,
+    snapshots=None,
+    nd: int = 20,
+    substeps: int = 4,
+    track_error: bool = True,
 ):
-    """Reference XLA implementation with identical semantics (used on CPU
-    and in tests)."""
+    """XLA twin of the screening kernel (identical semantics; used on CPU
+    backends and as the parity reference in tests)."""
     f32 = jnp.float32
-    Fops = Fops.astype(f32)
-    N, r, Z = Fops.shape
+    N, r, d = Ohat.shape
     G = N // nd
+    k = t_eval.shape[0]
+    rows, cols = ckron_indices(r)
+
+    O = Ohat.astype(f32)
     q0b = jnp.broadcast_to(q0.astype(f32), (N, r))
     t_eval = t_eval.astype(f32)
     shift = shift.astype(f32)
     limits = limits.astype(f32)
+    snaps = (
+        snapshots.astype(f32)
+        if snapshots is not None
+        else jnp.zeros((r, k), dtype=f32)
+    )
+    do_err = track_error and snapshots is not None
 
-    def rhs(F, q):
-        ones = jnp.ones((N, 1), dtype=f32)
-        qq = (q[:, :, None] * q[:, None, :]).reshape(N, r * r)
-        feats = jnp.concatenate([ones, q, qq], axis=1)
-        return jnp.sum(F * feats[:, None, :], axis=2)
+    def rhs(q):  # q: (N, r)
+        feats = jnp.concatenate(
+            [jnp.ones((N, 1), f32), q, q[:, rows] * q[:, cols]], axis=1
+        )
+        return jnp.einsum("nrd,nd->nr", O, feats)
 
-    clip = lambda q: jnp.clip(q, -1e6, 1e6)
+    clip = lambda x: jnp.clip(x, -DIVERGE_CAP, DIVERGE_CAP)
 
-    def interval(carry, t_pair):
-        q, maxdev = carry
-        t0, t1 = t_pair
+    def err_term(i, q):
+        mean = jnp.mean(q.reshape(G, nd, r), axis=1)  # (G, r)
+        diff = mean - snaps[:, i].astype(f32)[None, :]
+        return jnp.sum(diff * diff, axis=1)
+
+    def interval(carry, inp):
+        q, maxdev, err = carry
+        i, t0, t1 = inp
         h = (t1 - t0) / substeps
         for _ in range(substeps):
-            k1 = rhs(Fops, q)
-            k2 = rhs(Fops, clip(q + 0.5 * h * k1))
-            k3 = rhs(Fops, clip(q + 0.5 * h * k2))
-            k4 = rhs(Fops, clip(q + h * k3))
+            k1 = rhs(q)
+            k2 = rhs(clip(q + 0.5 * h * k1))
+            k3 = rhs(clip(q + 0.5 * h * k2))
+            k4 = rhs(clip(q + h * k3))
             q = clip(q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4))
         maxdev = jnp.maximum(maxdev, jnp.abs(q - shift[None, :]))
-        return (q, maxdev), jnp.sum(q.reshape(G, nd, r), axis=1)
+        if do_err:
+            err = err + err_term(i.astype(jnp.int32), q)
+        return (q, maxdev, err), None
 
+    err0 = err_term(0, q0b) if do_err else jnp.zeros(G, f32)
     maxdev0 = jnp.abs(q0b - shift[None, :])
-    t_pairs = jnp.stack([t_eval[:-1], t_eval[1:]], axis=1)
-    (q, maxdev), sums = jax.lax.scan(interval, (q0b, maxdev0), t_pairs, unroll=4)
-    sums = jnp.concatenate(
-        [jnp.sum(q0b.reshape(G, nd, r), axis=1)[None], sums], axis=0
-    )  # (k, G, r)
-    stable = jnp.all((maxdev <= limits[None, :]) & jnp.isfinite(maxdev), axis=1)
-    mean_sol = jnp.transpose(sums, (1, 2, 0)) / nd
-    return stable, mean_sol
+    idx = jnp.arange(1, k)
+    (q, maxdev, err), _ = jax.lax.scan(
+        interval,
+        (q0b, maxdev0, err0),
+        (idx, t_eval[:-1], t_eval[1:]),
+        unroll=4,
+    )
+    stable = jnp.all(
+        (maxdev <= limits[None, :]) & jnp.isfinite(maxdev), axis=1
+    )
+    return stable, err

@@ -28,6 +28,7 @@ from .configs import SEIRDConfig
 from ..models import SEIRD2
 from ..gp import fit_gaussian_processes
 from ..solve import weighted_lstsq_fit
+from ..bayes.posterior import ensemble_dtype
 from ..bayes import OperatorPosterior, BayesianODE, auto_regularize
 from ..utils import key_from_seed, split_tree, TimedBlock
 
@@ -185,6 +186,7 @@ def run_seird(
         limits = 5.0 * jnp.max(jnp.abs(state_est - shift[:, None]), axis=1)
         draws, valid = bayesian_model.solution_posterior(
             keys["draws"], q0, t_pred, ndraws=ndraws,
+            dtype=ensemble_dtype(),
             stability_envelope=(shift, limits),
         )
         if verbose and int((~valid).sum()):
@@ -196,6 +198,7 @@ def run_seird(
         np.asarray(config.test_initial_conditions),
         t_pred,
         ndraws=ndraws,
+        dtype=ensemble_dtype(),
     )
 
     return SEIRDResult(

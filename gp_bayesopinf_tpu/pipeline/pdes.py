@@ -26,6 +26,7 @@ from ..models import Euler
 from ..gp import fit_gaussian_processes
 from ..rom import EulerScaledBasis, GalerkinROM
 from ..solve import weighted_lstsq_fit
+from ..bayes.posterior import ensemble_dtype
 from ..bayes import OperatorPosterior, BayesianROM, auto_regularize
 from ..utils import key_from_seed, split_tree, TimedBlock
 
@@ -161,6 +162,7 @@ def run_euler(
             snapshots_compressed[:, 0],
             t_pred,
             ndraws=ndraws,
+            dtype=ensemble_dtype(),
             stability_envelope=(qbar, bound),
         )
         if verbose and int((~valid).sum()):

@@ -26,6 +26,7 @@ from ..models import CubicHeatBimodal, HeatBimodal
 from ..gp import fit_gaussian_processes
 from ..rom import QuadraticLiftedBasis, GalerkinROM
 from ..solve import weighted_lstsq_fit
+from ..bayes.posterior import ensemble_dtype
 from ..bayes import OperatorPosterior, BayesianROM, auto_regularize
 from ..utils import key_from_seed, split_tree, TimedBlock
 
@@ -215,6 +216,7 @@ def run_heat_multi(
                 state_ests[ell][:, 0],
                 t_pred,
                 ndraws=ndraws,
+            dtype=ensemble_dtype(),
                 input_func=input_funcs[ell],
                 stability_envelope=(qbar, bound),
             )
@@ -249,6 +251,7 @@ def run_heat_multi(
             compressed_new[:, 0],
             t_pred,
             ndraws=ndraws,
+            dtype=ensemble_dtype(),
             input_func=input_func_factory(config.test_parameters),
         )
         result.newparam_draws = np.asarray(draws)

@@ -1,5 +1,5 @@
 """Ensemble screening megakernel: Pallas (interpret mode on CPU) vs the
-XLA implementation vs direct per-draw integration."""
+XLA twin vs direct per-draw integration."""
 
 import numpy as np
 import jax
@@ -7,12 +7,10 @@ import jax.numpy as jnp
 import pytest
 
 from gp_bayesopinf_tpu.ops.ensemble_pallas import (
-    expand_cah_operators,
     quadratic_ensemble_screen,
     quadratic_ensemble_screen_xla,
 )
 from gp_bayesopinf_tpu.rom import GalerkinROM
-from gp_bayesopinf_tpu.ops.quadratic import ckron
 
 
 @pytest.fixture
@@ -28,30 +26,16 @@ def setup(rng):
     t = np.linspace(0, 2.0, k)
     shift = np.zeros(r)
     limits = np.full(r, 10.0)
-    return rom, jnp.asarray(Ohat), jnp.asarray(q0), jnp.asarray(t), shift, limits, G, nd
-
-
-def test_expand_cah_matches_rhs(rng):
-    """Dense-feature operators reproduce the compressed rhs exactly."""
-    r, d = 4, 1 + 4 + 10
-    Ohat = jnp.asarray(rng.standard_normal((6, r, d)))
-    F = expand_cah_operators(Ohat, r)
-    q = jnp.asarray(rng.standard_normal(r))
-    feats = jnp.concatenate([jnp.ones(1), q, jnp.kron(q, q)])
-    for n in range(6):
-        via_dense = np.asarray(F[n] @ feats)
-        via_ckron = np.asarray(
-            Ohat[n] @ jnp.concatenate([jnp.ones(1), q, ckron(q)])
-        )
-        np.testing.assert_allclose(via_dense, via_ckron, rtol=1e-12)
+    snaps = rng.standard_normal((r, k))
+    return rom, jnp.asarray(Ohat), jnp.asarray(q0), jnp.asarray(t), shift, limits, snaps, G, nd
 
 
 def test_xla_screen_matches_direct(setup):
-    rom, Ohat, q0, t, shift, limits, G, nd = setup
+    rom, Ohat, q0, t, shift, limits, snaps, G, nd = setup
     r = rom.state_dimension
-    F = expand_cah_operators(Ohat, r)
-    stable, mean_sol = quadratic_ensemble_screen_xla(
-        F, q0, t, jnp.asarray(shift), jnp.asarray(limits), substeps=4, nd=nd
+    stable, err_sq = quadratic_ensemble_screen_xla(
+        Ohat, q0, t, jnp.asarray(shift), jnp.asarray(limits),
+        jnp.asarray(snaps), nd=nd, substeps=4,
     )
     # Direct f32 per-draw integration with the rom integrator.
     sols = jax.vmap(
@@ -60,36 +44,69 @@ def test_xla_screen_matches_direct(setup):
         )
     )(Ohat)
     sols = np.asarray(sols)  # (N, r, k)
-    N = sols.shape[0]
     dev = np.abs(sols - shift[None, :, None]).max(axis=2)
     expect_stable = (dev <= limits[None, :]).all(axis=1) & np.isfinite(
         sols
     ).all(axis=(1, 2))
     got_stable = np.asarray(stable)
-    # Divergence clamps differ (1e6 vs 1e18) but classification must agree.
     np.testing.assert_array_equal(got_stable, expect_stable)
-    # Mean over draws per candidate (only meaningful for stable candidates).
+    # Error accumulation: ||mean_draws(sol) - snaps||_F^2 per candidate.
     mean_direct = sols.reshape(G, nd, r, -1).mean(axis=1)
-    mm = np.asarray(mean_sol)
+    expect_err = ((mean_direct - snaps[None]) ** 2).sum(axis=(1, 2))
+    got_err = np.asarray(err_sq)
     for g in range(G):
         if got_stable[g * nd : (g + 1) * nd].all():
             np.testing.assert_allclose(
-                mm[g], mean_direct[g], rtol=2e-4, atol=2e-4
+                got_err[g], expect_err[g], rtol=5e-4
             )
-    # The sabotaged candidate must be unstable.
-    assert not got_stable[-nd:].any()
+    assert not got_stable[-nd:].any()  # sabotaged candidate unstable
 
 
 def test_pallas_interpret_matches_xla(setup):
-    rom, Ohat, q0, t, shift, limits, G, nd = setup
-    r = rom.state_dimension
-    F = expand_cah_operators(Ohat, r)
-    s_x, m_x = quadratic_ensemble_screen_xla(
-        F, q0, t, jnp.asarray(shift), jnp.asarray(limits), substeps=4, nd=nd
+    rom, Ohat, q0, t, shift, limits, snaps, G, nd = setup
+    s_x, e_x = quadratic_ensemble_screen_xla(
+        Ohat, q0, t, jnp.asarray(shift), jnp.asarray(limits),
+        jnp.asarray(snaps), nd=nd, substeps=4,
     )
-    s_p, m_p = quadratic_ensemble_screen(
-        F, q0, t, jnp.asarray(shift), jnp.asarray(limits),
-        substeps=4, nd=nd, interpret=True,
+    s_p, e_p = quadratic_ensemble_screen(
+        Ohat, q0, t, jnp.asarray(shift), jnp.asarray(limits),
+        jnp.asarray(snaps), nd=nd, substeps=4, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
-    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x), rtol=2e-5, atol=1e-5)
+    ok = np.asarray(s_x).reshape(G, nd).all(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(e_p)[ok], np.asarray(e_x)[ok], rtol=2e-4, atol=1e-4
+    )
+
+
+def test_track_error_off(setup):
+    rom, Ohat, q0, t, shift, limits, snaps, G, nd = setup
+    s, e = quadratic_ensemble_screen_xla(
+        Ohat, q0, t, jnp.asarray(shift), jnp.asarray(limits),
+        None, nd=nd, substeps=4, track_error=False,
+    )
+    assert np.all(np.asarray(e) == 0.0)
+    assert s.shape == (G * nd,)
+
+
+def test_lane_padding_is_inert(rng):
+    """N not a multiple of 128: padded dummy draws must not change
+    stability flags or errors of the real draws (interpret mode)."""
+    r, G, nd, k = 2, 3, 7, 12  # N = 21, heavily padded
+    d = 1 + r + r * (r + 1) // 2
+    Ohat = 0.2 * rng.standard_normal((G * nd, r, d))
+    Ohat[:, :, 1 : 1 + r] -= 0.7 * np.eye(r)[None]
+    q0 = jnp.asarray(rng.standard_normal(r) * 0.3)
+    t = jnp.asarray(np.linspace(0, 1, k))
+    shift = jnp.zeros(r)
+    limits = jnp.full(r, 8.0)
+    snaps = jnp.asarray(rng.standard_normal((r, k)))
+    s_p, e_p = quadratic_ensemble_screen(
+        jnp.asarray(Ohat), q0, t, shift, limits, snaps,
+        nd=nd, substeps=2, interpret=True,
+    )
+    s_x, e_x = quadratic_ensemble_screen_xla(
+        jnp.asarray(Ohat), q0, t, shift, limits, snaps, nd=nd, substeps=2
+    )
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x), rtol=2e-4)

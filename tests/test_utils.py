@@ -1,0 +1,79 @@
+"""Timing utilities, key threading, and config formatters."""
+
+import time
+
+import numpy as np
+import pytest
+
+from gp_bayesopinf_tpu.utils import TimedBlock, StageTimer, key_from_seed, split_tree
+from gp_bayesopinf_tpu.pipeline.configs import TRNFMT, SPRSFMT, NOISEFMT, DIMFMT
+
+
+def test_timed_block_measures(capsys):
+    with TimedBlock("stage x") as tb:
+        time.sleep(0.05)
+    assert tb.elapsed >= 0.05
+    out = capsys.readouterr().out
+    assert "stage x" in out and "done in" in out
+
+
+def test_timed_block_watchdog():
+    """Exceeded time limits raise after the block (reference
+    ``opinf.utils.TimedBlock(timelimit=...)`` semantics as used at
+    ``PDEs/step2_fitgps.py:61``)."""
+    with pytest.raises(TimeoutError):
+        with TimedBlock("slow stage", timelimit=0.01):
+            time.sleep(0.05)
+
+
+def test_stage_timer_accumulates():
+    timer = StageTimer()
+    with timer.block("a"):
+        time.sleep(0.02)
+    with timer.block("a"):
+        time.sleep(0.02)
+    with timer.block("b"):
+        pass
+    assert timer.times["a"] >= 0.04
+    assert "TOTAL" in timer.report()
+
+
+def test_key_split_deterministic():
+    k1 = split_tree(key_from_seed(7), ["x", "y"])
+    k2 = split_tree(key_from_seed(7), ["x", "y"])
+    assert np.array_equal(np.asarray(k1["x"]), np.asarray(k2["x"]))
+    assert not np.array_equal(np.asarray(k1["x"]), np.asarray(k1["y"]))
+
+
+def test_filename_formatters():
+    """Reference formats (``ODEs/config.py:36-53``)."""
+    assert TRNFMT(7) == "trainsize007"
+    assert SPRSFMT(0.25) == "sparsity025"
+    assert NOISEFMT(0) == "noise000"
+    assert NOISEFMT(0.03) == "noise003"
+    assert DIMFMT(3) == "mode03"
+
+
+def test_reports(tmp_path):
+    from gp_bayesopinf_tpu.pipeline.report import (
+        summarize_experiment,
+        summarize_posterior,
+    )
+    from gp_bayesopinf_tpu.bayes import BayesianODE, OperatorPosterior
+    from gp_bayesopinf_tpu.models import SEIRD2
+    import os
+
+    folder = str(tmp_path)
+    text = summarize_experiment(
+        (0, 0.06), 200, 0.03, 400, numPODmodes=6,
+        gp_regularizer=1e-8, ndraws=600, folder=folder,
+    )
+    assert "200 uniformly sampled snapshots" in text
+    assert "6 POD modes" in text
+    assert os.path.isfile(os.path.join(folder, "report.txt"))
+
+    bm = BayesianODE(
+        SEIRD2(), OperatorPosterior.from_moments(np.ones((1, 4)), np.eye(4)[None])
+    )
+    text = summarize_posterior([0.1, 0.2, 0.3, 0.4], bm, folder=folder)
+    assert "POSTERIOR DISTRIBUTION" in text
