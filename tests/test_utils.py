@@ -77,3 +77,31 @@ def test_reports(tmp_path):
     )
     text = summarize_posterior([0.1, 0.2, 0.3, 0.4], bm, folder=folder)
     assert "POSTERIOR DISTRIBUTION" in text
+
+
+def test_setup_logging(tmp_path):
+    import logging
+    from gp_bayesopinf_tpu.utils.logging import setup_logging
+
+    log = str(tmp_path / "log.log")
+    setup_logging(log)
+    setup_logging(log)  # idempotent
+    logging.info("hello from test")
+    for h in logging.getLogger().handlers:
+        h.flush()
+    content = open(log).read()
+    assert "NEW SESSION" in content
+    assert "hello from test" in content
+    handlers = [
+        h for h in logging.getLogger().handlers
+        if isinstance(h, logging.FileHandler) and h.baseFilename == log
+    ]
+    assert len(handlers) == 1
+
+
+def test_distributed_mesh_helpers():
+    from gp_bayesopinf_tpu.parallel.distributed import global_mesh, initialize
+
+    initialize(num_processes=1)  # no-op path
+    mesh = global_mesh({"dp": -1})
+    assert mesh.devices.size == 8
