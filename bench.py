@@ -191,13 +191,23 @@ def make_tpu_fn():
     )
 
     def core(ts, Y, t_est, t_pred, hyper, key):
+        # Cholesky-weighted estimation: no f64 eigendecomposition (the f64
+        # eigh is XLA-emulated on TPU and costs ~10 s at this size; the
+        # triangular-solve reformulation yields the identical posterior).
         ests = jax.vmap(
-            lambda y, h: gp_estimates(ts, y, t_est, h[0], h[1], h[2], eta=ETA)
+            lambda y, h: gp_estimates(
+                ts, y, t_est, h[0], h[1], h[2], eta=ETA, method="chol"
+            )
         )(Y, hyper)
         states = ests.state_estimate
 
         D = rom.data_matrix(states)[None]
-        fac = weighted_lstsq_fit(D, ests.sqrtW[:, None], ests.ddt_estimate[:, None])
+        fac = weighted_lstsq_fit(
+            D,
+            ests.weight_root[:, None],
+            ests.ddt_estimate[:, None],
+            weights_are_cholesky=True,
+        )
 
         shift = jnp.mean(states, axis=1)
         limits = 5.0 * jnp.max(jnp.abs(states - shift[:, None]), axis=1)

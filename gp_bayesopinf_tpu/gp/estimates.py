@@ -21,17 +21,37 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rbf import lstsq_kernel_matrices
-from ..ops.chol import spd_inverse_sqrt
+from ..ops.chol import spd_cholesky, spd_inverse_sqrt
 
 
 class GPEstimates(NamedTuple):
-    """Per-GP estimation products for the Bayesian regression."""
+    """Per-GP estimation products for the Bayesian regression.
+
+    ``weight_root`` is either the symmetric inverse square root
+    (C + eta I)^{-1/2} (``method="eigh"``; the reference's sqrtW) or the
+    lower Cholesky factor L of (C + eta I) (``method="chol"``; weights
+    applied downstream as L^{-1} via a triangular solve). Both define the
+    SAME weighted regression and posterior.
+    """
 
     state_estimate: jnp.ndarray  # (m',)
     ddt_estimate: jnp.ndarray  # (m',)
     ddt_covariance: jnp.ndarray  # (m', m')
-    sqrtW: jnp.ndarray  # (m', m')
+    weight_root: jnp.ndarray  # (m', m')
     ok: jnp.ndarray  # () bool: (C + eta I) was SPD
+
+    @property
+    def sqrtW(self):
+        """Reference-compatible alias (meaningful for method='eigh')."""
+        return self.weight_root
+
+
+def default_weight_method() -> str:
+    """'chol' on TPU backends (f64 eigh is emulated and ~30x more work),
+    'eigh' elsewhere (reference-parity sqrtW artifacts)."""
+    import jax as _jax
+
+    return "chol" if _jax.default_backend() == "tpu" else "eigh"
 
 
 def gp_estimates(
@@ -42,6 +62,7 @@ def gp_estimates(
     ell,
     chi,
     eta: float = 1e-8,
+    method: str = "eigh",
 ) -> GPEstimates:
     """Compute GP estimates and the weight root for one state variable.
 
@@ -61,6 +82,10 @@ def gp_estimates(
     eta : float >= 0
         Regularization for the weight-matrix inversion (reference default
         1e-8; CLI flag ``--gpreg``).
+    method : "eigh" (explicit sqrtW via eigendecomposition — reference
+        parity, exposes the sqrtW artifact) or "chol" (Cholesky factor of
+        C + eta I; same weighted regression at a fraction of the cost —
+        the fast path on TPU, where f64 eigh is emulated and slow).
     """
     K = lstsq_kernel_matrices(t, t_est, sigma2, ell, chi)
 
@@ -74,8 +99,13 @@ def gp_estimates(
     cross = K.K_zy @ V
     C = K.K_zz - 0.5 * (cross + cross.T)
 
-    sqrtW, ok = spd_inverse_sqrt(C, eta)
-    return GPEstimates(state, ddt, C, sqrtW, ok)
+    if method == "eigh":
+        root, ok = spd_inverse_sqrt(C, eta)
+    elif method == "chol":
+        root, ok = spd_cholesky(C, eta)
+    else:
+        raise ValueError(f"unknown weight method '{method}'")
+    return GPEstimates(state, ddt, C, root, ok)
 
 
 def gp_predict(

@@ -43,7 +43,9 @@ class GaussianProcess:
     state_estimate: Optional[jnp.ndarray] = None
     ddt_estimate: Optional[jnp.ndarray] = None
     ddt_covariance: Optional[jnp.ndarray] = None
-    sqrtW: Optional[jnp.ndarray] = None
+    sqrtW: Optional[jnp.ndarray] = None  # weight root (see weight_method)
+    weight_method: str = "eigh"  # 'eigh': sqrtW = (C+eta I)^{-1/2};
+    #                              'chol': sqrtW holds chol(C+eta I)
 
     @property
     def nsamples(self) -> int:
@@ -91,8 +93,9 @@ class GaussianProcess:
         return rbf(jnp.asarray(t1), jnp.asarray(t2), self.constant, self.length_scale)
 
     # -- estimation --------------------------------------------------------------
-    def compute_lstsq_matrices(self, t_est, eta: float = 1e-8):
-        """Populate state/ddt estimates and sqrtW at estimation times."""
+    def compute_lstsq_matrices(self, t_est, eta: float = 1e-8, method="eigh"):
+        """Populate state/ddt estimates and the weight root at estimation
+        times (reference ``gpkernels.py:612-649``)."""
         t_est = jnp.asarray(t_est)
         est = gp_estimates(
             self.t_training,
@@ -102,7 +105,9 @@ class GaussianProcess:
             self.length_scale,
             self.noise_level,
             eta=eta,
+            method=method,
         )
+        self.weight_method = method
         if not bool(est.ok):
             raise ValueError(
                 "inverse covariance not positive definite, increase eta"
@@ -111,7 +116,7 @@ class GaussianProcess:
         self.state_estimate = est.state_estimate
         self.ddt_estimate = est.ddt_estimate
         self.ddt_covariance = est.ddt_covariance
-        self.sqrtW = est.sqrtW
+        self.sqrtW = est.weight_root
         return self
 
     # -- persistence ----------------------------------------------------------------
@@ -149,6 +154,7 @@ def fit_gaussian_processes(
     key=None,
     adam_steps: int = 150,
     polish_iters: int = 30,
+    weight_method: Optional[str] = None,
 ):
     """Fit GPs to every row of ``snapshots_sampled`` — one batched solve.
 
@@ -177,9 +183,16 @@ def fit_gaussian_processes(
         polish_iters=polish_iters,
     )
 
+    from .estimates import default_weight_method
+
+    weight_method = weight_method or default_weight_method()
     T = jnp.broadcast_to(t_s, Y.shape) if t_s.ndim == 1 else t_s
     ests = jax.jit(
-        jax.vmap(lambda t, y, s2, l, c: gp_estimates(t, y, t_est, s2, l, c, eta=gp_regularizer))
+        jax.vmap(
+            lambda t, y, s2, l, c: gp_estimates(
+                t, y, t_est, s2, l, c, eta=gp_regularizer, method=weight_method
+            )
+        )
     )(T, Y, fit.sigma2, fit.ell, fit.chi)
 
     if not bool(jnp.all(ests.ok)):
@@ -201,7 +214,8 @@ def fit_gaussian_processes(
             state_estimate=ests.state_estimate[i],
             ddt_estimate=ests.ddt_estimate[i],
             ddt_covariance=ests.ddt_covariance[i],
-            sqrtW=ests.sqrtW[i],
+            sqrtW=ests.weight_root[i],
+            weight_method=weight_method,
         )
         gps.append(gp)
     return gps

@@ -13,6 +13,7 @@ from .rbf import (
 )
 from .chol import (
     cho_solve_psd,
+    spd_cholesky,
     spd_inverse_sqrt,
     solve_psd,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "derivative_gram",
     "lstsq_kernel_matrices",
     "cho_solve_psd",
+    "spd_cholesky",
     "spd_inverse_sqrt",
     "solve_psd",
     "ckron",

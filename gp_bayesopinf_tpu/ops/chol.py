@@ -27,6 +27,22 @@ def solve_psd(K: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     return jax.scipy.linalg.cho_solve((L, True), B), L
 
 
+def spd_cholesky(C: jnp.ndarray, eta: float = 0.0):
+    """Lower Cholesky factor of (C + eta I) plus an SPD validity flag.
+
+    The cheap alternative to ``spd_inverse_sqrt`` for weighting least
+    squares: with C + eta I = L L^T, applying L^{-1} (one triangular
+    solve) reproduces the same weighted norm as multiplying by the
+    symmetric inverse square root — ||L^{-1} x||_2^2 = x^T (C+eta I)^{-1} x
+    — without any eigendecomposition (SURVEY.md section 7, 'sqrtW at
+    m'=3200' reformulation).
+    """
+    n = C.shape[-1]
+    L = jnp.linalg.cholesky(C + eta * jnp.eye(n, dtype=C.dtype))
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(L, axis1=-2, axis2=-1)))
+    return L, ok
+
+
 def spd_inverse_sqrt(
     C: jnp.ndarray, eta: float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

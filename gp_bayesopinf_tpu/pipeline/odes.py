@@ -162,7 +162,10 @@ def run_seird(
         D_blocks = model.data_matrix_blocks(state_est)
         sqrtW = jnp.stack([gp.sqrtW for gp in gps])[None]
         rhs = jnp.stack([gp.ddt_estimate for gp in gps])[None]
-        fac = weighted_lstsq_fit(D_blocks, sqrtW, rhs)
+        fac = weighted_lstsq_fit(
+            D_blocks, sqrtW, rhs,
+            weights_are_cholesky=(gps[0].weight_method == "chol"),
+        )
 
         predict_fn = lambda O, q, t: model.solve(q, t, parameters=O[0])
         res = auto_regularize(

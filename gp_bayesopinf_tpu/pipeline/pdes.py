@@ -132,7 +132,10 @@ def run_euler(
         D = rom.data_matrix(state_est)[None]  # (1, m', d)
         sqrtW = jnp.stack([gp.sqrtW for gp in gps])[:, None]  # (r, 1, m', m')
         rhs = jnp.stack([gp.ddt_estimate for gp in gps])[:, None]  # (r, 1, m')
-        fac = weighted_lstsq_fit(D, sqrtW, rhs)
+        fac = weighted_lstsq_fit(
+            D, sqrtW, rhs,
+            weights_are_cholesky=(gps[0].weight_method == "chol"),
+        )
 
         predict_fn = lambda O, q, t: rom.predict(O, q, t)
         res = auto_regularize(

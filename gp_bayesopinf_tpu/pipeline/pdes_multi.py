@@ -180,7 +180,10 @@ def run_heat_multi(
                 for i in range(num_pod_modes)
             ]
         )  # (r, L, m')
-        fac = weighted_lstsq_fit(D_blocks, sqrtW, rhs)
+        fac = weighted_lstsq_fit(
+            D_blocks, sqrtW, rhs,
+            weights_are_cholesky=(gps[0][0].weight_method == "chol"),
+        )
 
         predict_fns = [
             (lambda f: (lambda O, q, t: rom.predict(O, q, t, input_func=f)))(f)

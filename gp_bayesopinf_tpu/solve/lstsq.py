@@ -139,8 +139,9 @@ class WeightedLSTSQ(NamedTuple):
 
 def weighted_lstsq_fit(
     D_blocks: jnp.ndarray,
-    sqrtW: jnp.ndarray,
+    weight_roots: jnp.ndarray,
     rhs: jnp.ndarray,
+    weights_are_cholesky: bool = False,
 ) -> WeightedLSTSQ:
     """Weight the blocks and factorize every row problem at once.
 
@@ -152,8 +153,13 @@ def weighted_lstsq_fit(
         (block-specific rows of the model data matrix,
         ``ODEs/config_seird.py:29-43``); B = #trajectories for the
         multi-trajectory regression.
-    sqrtW : (r, B, m, m) array
-        Weight roots per problem row and block (GP ``sqrtW`` matrices).
+    weight_roots : (r, B, m, m) array
+        Weight roots per problem row and block. By default these are
+        multiplicative roots R with W = R^T R (the GP ``sqrtW`` matrices).
+        With ``weights_are_cholesky=True`` they are lower Cholesky factors
+        L of the weighted-norm INVERSE (the GP derivative covariance
+        C + eta I = L L^T) and are applied as L^{-1} via triangular
+        solves — the same weighted problem without an eigendecomposition.
     rhs : (r, B, m) array
         Unweighted right-hand sides (GP ddt estimates).
 
@@ -161,7 +167,7 @@ def weighted_lstsq_fit(
     -------
     WeightedLSTSQ (batched over the r problems).
     """
-    r, B, m, _ = sqrtW.shape
+    r, B, m, _ = weight_roots.shape
     d = D_blocks.shape[-1]
     if D_blocks.shape != (B, m, d):
         raise ValueError(f"D_blocks shape {D_blocks.shape} != {(B, m, d)}")
@@ -170,8 +176,19 @@ def weighted_lstsq_fit(
     if B * m < d:
         raise ValueError("underdetermined problem: need B*m >= d")
 
-    Dt = jnp.einsum("rbij,bjd->rbid", sqrtW, D_blocks).reshape(r, B * m, d)
-    zt = jnp.einsum("rbij,rbj->rbi", sqrtW, rhs).reshape(r, B * m)
+    if weights_are_cholesky:
+        Db = jnp.broadcast_to(D_blocks[None], (r, B, m, d))
+        Dt = jax.scipy.linalg.solve_triangular(
+            weight_roots, Db, lower=True
+        ).reshape(r, B * m, d)
+        zt = jax.scipy.linalg.solve_triangular(
+            weight_roots, rhs[..., None], lower=True
+        ).reshape(r, B * m)
+    else:
+        Dt = jnp.einsum(
+            "rbij,bjd->rbid", weight_roots, D_blocks
+        ).reshape(r, B * m, d)
+        zt = jnp.einsum("rbij,rbj->rbi", weight_roots, rhs).reshape(r, B * m)
 
     U, S, Vt = jnp.linalg.svd(Dt, full_matrices=False)
     V = jnp.swapaxes(Vt, -1, -2)

@@ -161,3 +161,64 @@ def test_stability_mask():
     limits = jnp.full(n, 5.0)
     mask = stability_mask(sols, shift, limits)
     assert mask.tolist() == [True, False, False]
+
+
+def test_cholesky_weight_path_matches_sqrtw(rng):
+    """The Cholesky-weighted regression (no eigendecomposition) must give
+    the same posterior as explicit sqrtW weighting."""
+    import scipy.linalg as la
+    from gp_bayesopinf_tpu.ops import spd_cholesky, spd_inverse_sqrt
+
+    B, m, d, r = 2, 30, 5, 3
+    D = jnp.asarray(rng.standard_normal((B, m, d)))
+    rhs = jnp.asarray(rng.standard_normal((r, B, m)))
+    # Per-row/block SPD covariances C.
+    X = rng.standard_normal((r, B, m, m)) / np.sqrt(m)
+    C = np.einsum("rbij,rbkj->rbik", X, X) + 0.1 * np.eye(m)
+
+    eta = 1e-6
+    sqrtW = np.empty_like(C)
+    chols = np.empty_like(C)
+    for i in range(r):
+        for b in range(B):
+            sw, ok1 = spd_inverse_sqrt(jnp.asarray(C[i, b]), eta)
+            L, ok2 = spd_cholesky(jnp.asarray(C[i, b]), eta)
+            assert bool(ok1) and bool(ok2)
+            sqrtW[i, b] = np.asarray(sw)
+            chols[i, b] = np.asarray(L)
+
+    fac_sw = weighted_lstsq_fit(D, jnp.asarray(sqrtW), rhs)
+    fac_ch = weighted_lstsq_fit(
+        D, jnp.asarray(chols), rhs, weights_are_cholesky=True
+    )
+    for lam in (1e-6, 1e-2, 1.0):
+        np.testing.assert_allclose(
+            np.asarray(fac_sw.solve(lam)), np.asarray(fac_ch.solve(lam)),
+            rtol=1e-7, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fac_sw.precisions(lam)),
+            np.asarray(fac_ch.precisions(lam)),
+            rtol=1e-6, atol=1e-7,
+        )
+
+
+def test_gp_estimates_chol_method(rng):
+    """gp_estimates(method='chol') factors C + eta I."""
+    from gp_bayesopinf_tpu.gp import gp_estimates
+
+    t = np.sort(rng.uniform(0, 1, 25)); t[0], t[-1] = 0, 1
+    y = np.sin(5 * t)
+    te = np.linspace(0, 1, 30)
+    est_e = gp_estimates(jnp.asarray(t), jnp.asarray(y), jnp.asarray(te),
+                         1.5, 0.2, 1e-5, eta=1e-6, method="eigh")
+    est_c = gp_estimates(jnp.asarray(t), jnp.asarray(y), jnp.asarray(te),
+                         1.5, 0.2, 1e-5, eta=1e-6, method="chol")
+    np.testing.assert_allclose(
+        np.asarray(est_c.state_estimate), np.asarray(est_e.state_estimate)
+    )
+    L = np.asarray(est_c.weight_root)
+    np.testing.assert_allclose(
+        L @ L.T, np.asarray(est_c.ddt_covariance) + 1e-6 * np.eye(30),
+        atol=1e-10,
+    )
