@@ -93,10 +93,41 @@ def _lbfgs_polish(z0, fun, maxiter: int):
     return jnp.where(better, z_fin, z0), jnp.where(better, val, val0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_restarts", "adam_steps", "polish_iters"),
-)
+@partial(jax.jit, static_argnames=("n_restarts", "adam_steps"))
+def _screen_all(T, Y, box, keys, n_restarts, adam_steps, adam_lr):
+    """Phase 1: Adam screening of all (mode, restart) starts."""
+
+    def one_mode(t_i, y_i, key_i):
+        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
+        z0s = _initial_z(box, key_i, n_restarts).astype(T.dtype)
+        z, v = jax.vmap(lambda z: _adam_screen(z, fun, adam_steps, adam_lr))(z0s)
+        return z, jnp.where(jnp.isfinite(v), v, jnp.inf)
+
+    return jax.vmap(one_mode)(T, Y, keys)
+
+
+@partial(jax.jit, static_argnames=("polish_iters",))
+def _polish_all(T, Y, box, z_best, polish_iters):
+    """Phase 2: L-BFGS polish from each mode's screening winner."""
+
+    def one_mode(t_i, y_i, z0):
+        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
+        return _lbfgs_polish(z0, fun, polish_iters)
+
+    return jax.vmap(one_mode)(T, Y, z_best)
+
+
+def default_fit_dtype():
+    """float32 on TPU (no native f64; the NLML's per-iteration Cholesky in
+    emulated f64 is ~15x slower to compile and run), float64 elsewhere.
+    Hyperparameter selection tolerates f32 — the fitted values feed f64
+    estimation downstream, and the reference itself accepts its two
+    backends agreeing only to rtol=1e-1 (``ODEs/main.py:155``)."""
+    import jax as _jax
+
+    return jnp.float32 if _jax.default_backend() == "tpu" else jnp.float64
+
+
 def fit_gp_hyperparameters(
     t: jnp.ndarray,
     Y: jnp.ndarray,
@@ -106,8 +137,15 @@ def fit_gp_hyperparameters(
     adam_steps: int = 150,
     adam_lr: float = 0.08,
     polish_iters: int = 30,
+    fit_dtype=None,
 ) -> FitResult:
     """Fit RBF+white GP hyperparameters for every row of Y at once.
+
+    Two jitted phases with a host-side winner selection in between —
+    screening (vmapped Adam over all mode x restart starts) and polish
+    (L-BFGS from each mode's best) — kept as separate XLA programs (the
+    fused argmin+gather+polish graph trips an XLA:TPU memory-space
+    assignment bug).
 
     Parameters
     ----------
@@ -124,28 +162,34 @@ def fit_gp_hyperparameters(
         Random restarts in addition to the default start.
     adam_steps, adam_lr : screening descent budget.
     polish_iters : L-BFGS iterations from each mode's screening winner.
+    fit_dtype : optimization dtype (see ``default_fit_dtype``).
 
     Returns
     -------
-    FitResult with (r,)-shaped fields.
+    FitResult with (r,)-shaped float64 fields.
     """
+    import numpy as np
+
+    fit_dtype = fit_dtype or default_fit_dtype()
     r = Y.shape[0]
     T = jnp.broadcast_to(t, (r, t.shape[-1])) if t.ndim == 1 else t
+    T = T.astype(fit_dtype)
+    Yc = Y.astype(fit_dtype)
+    box_c = BoxTransform(box.lo.astype(fit_dtype), box.hi.astype(fit_dtype))
     keys = jax.random.split(key, r)
 
-    def fit_one_mode(t_i, y_i, key_i):
-        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
-        z0s = _initial_z(box, key_i, n_restarts)
-        z_scr, v_scr = jax.vmap(lambda z: _adam_screen(z, fun, adam_steps, adam_lr))(
-            z0s
-        )
-        v_scr = jnp.where(jnp.isfinite(v_scr), v_scr, jnp.inf)
-        best = jnp.argmin(v_scr)
-        z_pol, v_pol = _lbfgs_polish(z_scr[best], fun, polish_iters)
-        take_pol = v_pol < v_scr[best]
-        z_fin = jnp.where(take_pol, z_pol, z_scr[best])
-        v_fin = jnp.where(take_pol, v_pol, v_scr[best])
-        return jnp.exp(box.to_log_params(z_fin)), v_fin
+    z_scr, v_scr = _screen_all(T, Yc, box_c, keys, n_restarts, adam_steps, adam_lr)
+    best = np.asarray(jnp.argmin(v_scr, axis=1))  # host-side winner select
+    z_best = z_scr[jnp.arange(r), best]
+    v_best = v_scr[jnp.arange(r), best]
 
-    params, vals = jax.vmap(fit_one_mode)(T, Y, keys)
-    return FitResult(params[:, 0], params[:, 1], params[:, 2], vals)
+    z_pol, v_pol = _polish_all(T, Yc, box_c, z_best, polish_iters)
+    take = v_pol < v_best
+    z_fin = jnp.where(take[:, None], z_pol, z_best)
+    v_fin = jnp.where(take, v_pol, v_best)
+
+    log_params = jax.vmap(box_c.to_log_params)(z_fin).astype(jnp.float64)
+    params = jnp.exp(log_params)
+    return FitResult(
+        params[:, 0], params[:, 1], params[:, 2], v_fin.astype(jnp.float64)
+    )

@@ -26,15 +26,20 @@ from ..solve.ivp import rk4_solve
 
 
 def _truncnorm_noise(key, states, noise_level):
-    """Truncated-normal noise: support [0, 1] per state, zeros stay zero."""
+    """Truncated-normal noise: support [0, 1] per state, zeros stay zero.
+
+    The standardized truncated draw happens in float32 (erf-inverse in
+    emulated f64 does not compile on TPU; noise realization needs no
+    more precision) and is applied in the states' dtype."""
     iszero = jnp.abs(states) < 5e-16
     std = jnp.where(iszero, 1e-3, jnp.abs(noise_level * states))
     # Standardized truncation bounds, as in scipy.stats.truncnorm:
-    # lower at max(0-value, anything below current)/std etc.
-    a = jnp.minimum(0.0, -states / std)
-    b = jnp.maximum(0.0, (1.0 - states) / std)
-    z = jax.random.truncated_normal(key, a, b, shape=states.shape)
-    noised = states + std * z
+    a = jnp.minimum(0.0, -states / std).astype(jnp.float32)
+    b = jnp.maximum(0.0, (1.0 - states) / std).astype(jnp.float32)
+    z = jax.random.truncated_normal(
+        key, a, b, shape=states.shape, dtype=jnp.float32
+    )
+    noised = states + std * z.astype(states.dtype)
     return jnp.where(iszero, 0.0, noised)
 
 

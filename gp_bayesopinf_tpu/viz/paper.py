@@ -145,6 +145,65 @@ def heat_multi_figure(prefix: str, savedir: Optional[str] = None):
     return _save_or_return(figs, savedir)
 
 
+def comparison_reduced_figure(
+    prefixes: Sequence[str],
+    labels: Sequence[str],
+    mode: int = 0,
+    savedir: Optional[str] = None,
+):
+    """Side-by-side posterior bands for one reduced mode across several
+    runs (the reference's noise/sparsity comparison figures,
+    ``PDEs/plots_paper.py:966-1053``; e.g. m' in {50, 400, 3200} or
+    noise in {1%, 3%, 5%})."""
+    n = len(prefixes)
+    fig, axes = plt.subplots(n, 1, figsize=(8, 2.2 * n), sharex=True)
+    for ax, prefix, label in zip(np.atleast_1d(axes), prefixes, labels):
+        with _load(f"{prefix}_data-reduced.h5") as hf:
+            t_pr = hf["prediction_time_domain"][:]
+            t_tr = hf["training_time_domain"][:]
+            valid = hf["draws_valid"][:].astype(bool)
+            draws = hf["draws_compressed"][:][valid][:NUMDRAWS_FIGURES]
+            snaps = hf["snapshots_compressed"][:]
+            t_s = hf["sampling_time_domain"][:]
+        p = BasePlotter(t_s, t_tr, t_pr)
+        p.plot_data(ax, snaps[mode])
+        if draws.size:
+            p.plot_percentiles(ax, draws[:, mode, :])
+            p.plot_samplemean(ax, draws[:, mode, :].mean(axis=0))
+        ax.set_ylabel(label)
+    np.atleast_1d(axes)[-1].set_xlabel("$t$")
+    return _save_or_return({f"comparison_mode{mode}": fig}, savedir)
+
+
+def comparison_full_figure(
+    prefixes: Sequence[str],
+    labels: Sequence[str],
+    spatial_index: int,
+    variable: int = 0,
+    savedir: Optional[str] = None,
+):
+    """Full-state posterior comparison at one spatial point across runs
+    (``PDEs/plots_paper.py:1056-1152``)."""
+    n = len(prefixes)
+    fig, axes = plt.subplots(n, 1, figsize=(8, 2.2 * n), sharex=True)
+    for ax, prefix, label in zip(np.atleast_1d(axes), prefixes, labels):
+        with _load(f"{prefix}_data-full.h5") as hf:
+            t_pr = hf["prediction_time_domain"][:]
+            t_s = hf["sampling_time_domain"][:]
+            truth = hf["true_states"][:]
+            draws = hf["draws"][:][:NUMDRAWS_FIGURES]
+        nx = truth.shape[0] // 3 if truth.shape[0] % 3 == 0 else truth.shape[0]
+        row = variable * nx + spatial_index
+        p = BasePlotter(t_s, t_s, t_pr)
+        p.plot_truth(ax, truth[row])
+        if draws.size:
+            p.plot_percentiles(ax, draws[:, row, :])
+            p.plot_samplemean(ax, draws[:, row, :].mean(axis=0))
+        ax.set_ylabel(label)
+    np.atleast_1d(axes)[-1].set_xlabel("$t$")
+    return _save_or_return({f"comparison_x{spatial_index}": fig}, savedir)
+
+
 def _save_or_return(figs: dict, savedir: Optional[str]):
     if savedir is None:
         return figs
