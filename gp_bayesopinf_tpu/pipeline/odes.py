@@ -128,12 +128,18 @@ def run_seird(
     t_pred = np.asarray(config.time_domain)
     q0 = np.asarray(config.initial_conditions)
 
-    # Step 1 — data generation.
+    # Step 1 — data generation. Truth solves run on the host CPU device:
+    # this is the reference's L1 stage (scipy there), and sequential f64
+    # scans are emulation-bound on TPU.
     with TimedBlock("generating training data"):
-        true_states = model.solve(q0, t_pred)
-        sample_times, snapshots = sample_trajectory(
-            keys["sample"], model, config, training_span,
-            num_samples, noiselevel, synced=synced, integersonly=integersonly,
+        with jax.default_device(jax.devices("cpu")[0]):
+            true_states = model.solve(q0, t_pred)
+            sample_times, snapshots = sample_trajectory(
+                keys["sample"], model, config, training_span,
+                num_samples, noiselevel, synced=synced, integersonly=integersonly,
+            )
+        true_states, sample_times, snapshots = jax.device_put(
+            (true_states, sample_times, snapshots)
         )
 
     # Step 2 — batched GP fits.

@@ -76,21 +76,23 @@ def run_euler(
     t_pred = np.asarray(config.time_domain)
     q0_full = np.asarray(model.initial_conditions(np.asarray(config.init_params)))
 
-    # Step 1 — data generation.
+    # Step 1 — data generation (host CPU device; see odes.py note).
     with TimedBlock("generating training data"):
-        true_states = model.solve(q0_full, t_pred)
-        t_sampled = np.sort(
-            np.asarray(
-                jax.random.uniform(
-                    keys["sample"], (num_samples,),
-                    minval=training_span[0], maxval=training_span[1],
+        with jax.default_device(jax.devices("cpu")[0]):
+            true_states = model.solve(q0_full, t_pred)
+            t_sampled = np.sort(
+                np.asarray(
+                    jax.random.uniform(
+                        keys["sample"], (num_samples,),
+                        minval=training_span[0], maxval=training_span[1],
+                    )
                 )
             )
-        )
-        t_sampled[0], t_sampled[-1] = training_span
-        snapshots = model.noise(
-            keys["noise"], model.solve(q0_full, t_sampled), noiselevel
-        )
+            t_sampled[0], t_sampled[-1] = training_span
+            snapshots = model.noise(
+                keys["noise"], model.solve(q0_full, t_sampled), noiselevel
+            )
+        true_states, snapshots = jax.device_put((true_states, snapshots))
 
     # Step 2a — POD compression.
     with TimedBlock(f"reducing states to {num_pod_modes} dimensions"):

@@ -96,7 +96,8 @@ def run_heat_multi(
 
     # Step 1 — per-trajectory data generation (shared sample times,
     # reference ``PDEsMulti/step1:84-183``).
-    with TimedBlock(f"generating training data ({L} trajectories)\n"):
+    with TimedBlock(f"generating training data ({L} trajectories)\n"), \
+            jax.default_device(jax.devices("cpu")[0]):
         t_sampled = np.sort(
             np.asarray(
                 jax.random.uniform(
