@@ -35,6 +35,14 @@ import jax as _jax
 if _os.environ.get("GPBOI_NO_X64", "0") != "1":
     _jax.config.update("jax_enable_x64", True)
 
+# TPUs have no f64 hardware and XLA's f64 emulation is loose (measured
+# f32-grade accuracy for matmul/cholesky/SVD on v5e) — so numerically
+# critical factorizations run on the host CPU device (see
+# utils.hostmath.host_device) while batched hot paths run on the
+# accelerator in f32. "highest" keeps f32 matmuls at full f32 accuracy
+# (multi-pass bf16) instead of the default bf16 demotion.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: TPU f64 linalg (eigh/svd) kernels compile in
 # O(minutes) but run in O(ms); caching compiled executables across processes
 # makes every run after the first fast. Opt out with GPBOI_NO_COMPILE_CACHE=1.

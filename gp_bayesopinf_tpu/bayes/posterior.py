@@ -146,6 +146,9 @@ class BayesianROM:
         t = jnp.asarray(timepoints)
         if dtype is not None:
             ohats, q0, t = ohats.astype(dtype), q0.astype(dtype), t.astype(dtype)
+        # Ensembles run on the accelerator even when the posterior moments
+        # were computed host-side (true-f64 policy, utils.hostmath).
+        ohats, q0, t = jax.device_put((ohats, q0, t))
 
         predict = lambda O: self.model.predict(O, q0, t, input_func)
         draws = jax.vmap(predict)(ohats)
@@ -227,6 +230,7 @@ class BayesianODE:
             params, q0, t = (
                 params.astype(dtype), q0.astype(dtype), t.astype(dtype)
             )
+        params, q0, t = jax.device_put((params, q0, t))
         solve = lambda p: self.model.solve(q0, t, parameters=p)
         draws = jax.vmap(solve)(params)
         if stability_envelope is None:

@@ -198,11 +198,20 @@ def auto_regularize(
     run through the Pallas ensemble-screening megakernel (``use_kernel``;
     defaults to True on TPU backends).
     """
+    from ..utils.hostmath import to_accelerator
+
     grid = DEFAULT_GRID_PDE if grid is None else np.sort(np.atleast_1d(grid))
     initial_conditions = jnp.atleast_2d(jnp.asarray(initial_conditions))
     snapshots_est = jnp.asarray(snapshots_est)
     if snapshots_est.ndim == 2:
         snapshots_est = snapshots_est[None]
+
+    # The regression factorization is built on the host (true f64); the
+    # screening integrations run on the accelerator — move the spectra
+    # there (sampling precision is f32-safe).
+    lstsq = to_accelerator(lstsq)
+    initial_conditions = to_accelerator(initial_conditions)
+    snapshots_est = to_accelerator(snapshots_est)
 
     import jax as _jax
 

@@ -184,10 +184,13 @@ def fit_gaussian_processes(
     )
 
     from .estimates import default_weight_method
+    from ..utils.hostmath import host_jit
 
     weight_method = weight_method or default_weight_method()
     T = jnp.broadcast_to(t_s, Y.shape) if t_s.ndim == 1 else t_s
-    ests = jax.jit(
+    # Estimation factorizations need true f64 — host CPU device (see
+    # utils.hostmath); tiny work, LAPACK-grade accuracy.
+    ests = host_jit(
         jax.vmap(
             lambda t, y, s2, l, c: gp_estimates(
                 t, y, t_est, s2, l, c, eta=gp_regularizer, method=weight_method

@@ -92,15 +92,18 @@ def run_euler(
             snapshots = model.noise(
                 keys["noise"], model.solve(q0_full, t_sampled), noiselevel
             )
-        true_states, snapshots = jax.device_put((true_states, snapshots))
 
-    # Step 2a — POD compression.
+    # Step 2a — POD compression. The SVD runs on the host CPU device
+    # (true f64; the TPU's emulated-f64 SVD is inaccurate and can NaN —
+    # see utils.hostmath); compressed coordinates then move on-device.
     with TimedBlock(f"reducing states to {num_pod_modes} dimensions"):
-        basis = EulerScaledBasis.fit(
-            snapshots, num_vectors=num_pod_modes,
-            v_ref=config.v_ref, rho_ref=config.rho_ref,
-        )
-        snapshots_compressed = basis.compress(snapshots)
+        with jax.default_device(jax.devices("cpu")[0]):
+            basis = EulerScaledBasis.fit(
+                snapshots, num_vectors=num_pod_modes,
+                v_ref=config.v_ref, rho_ref=config.rho_ref,
+            )
+            snapshots_compressed = basis.compress(snapshots)
+        snapshots_compressed = jax.device_put(snapshots_compressed)
 
     # Step 2b — batched GP fits on the reduced coordinates.
     t_est = np.linspace(
@@ -176,10 +179,14 @@ def run_euler(
     draws_full = None
     if decompress_draws:
         valid_np = np.asarray(valid)
-        decompress = jax.jit(basis.decompress)
-        draws_full = np.stack(
-            [np.asarray(decompress(d)) for d in np.asarray(draws_c)[valid_np]]
-        ) if valid_np.any() else np.zeros((0,) + (basis.full_dimension, t_pred.size))
+        with jax.default_device(jax.devices("cpu")[0]):
+            decompress = jax.jit(basis.decompress)
+            draws_full = np.stack(
+                [np.asarray(decompress(jnp.asarray(np.asarray(d))))
+                 for d in np.asarray(draws_c)[valid_np]]
+            ) if valid_np.any() else np.zeros(
+                (0,) + (basis.full_dimension, t_pred.size)
+            )
 
     result = EulerResult(
         model=model,
@@ -213,7 +220,20 @@ def _derivative_comparison_data(
     key, ndraws,
 ) -> Dict[str, np.ndarray]:
     """GP derivative moments vs finite differences vs intrusive truth
-    (reference ``PDEs/main.py:208-255``)."""
+    (reference ``PDEs/main.py:208-255``). Host-side (f64 truth math)."""
+    import contextlib
+    ctx = jax.default_device(jax.devices("cpu")[0])
+    with ctx:
+        return _derivative_comparison_data_impl(
+            model, basis, gps, config, t_sampled, snapshots_compressed,
+            t_est, key, ndraws,
+        )
+
+
+def _derivative_comparison_data_impl(
+    model, basis, gps, config, t_sampled, snapshots_compressed, t_est,
+    key, ndraws,
+) -> Dict[str, np.ndarray]:
     dqdtmeans = np.stack([np.asarray(gp.ddt_estimate) for gp in gps])
     # Std of ndraws samples from N(ddt_estimate, ddt_covariance).
     stds = []

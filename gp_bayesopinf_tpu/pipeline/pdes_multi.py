@@ -117,12 +117,17 @@ def run_heat_multi(
             )
             snapshots.append(np.asarray(snaps))
 
-    # Step 2a — joint POD over all trajectories.
+    # Step 2a — joint POD over all trajectories (host-side SVD; see
+    # utils.hostmath true-f64 policy).
     with TimedBlock(f"joint POD to {num_pod_modes} modes"):
-        basis = QuadraticLiftedBasis.fit(
-            np.hstack(snapshots), num_vectors=num_pod_modes
-        )
-        snapshots_compressed = [basis.compress(s) for s in snapshots]
+        with jax.default_device(jax.devices("cpu")[0]):
+            basis = QuadraticLiftedBasis.fit(
+                np.hstack(snapshots), num_vectors=num_pod_modes
+            )
+            snapshots_compressed = [basis.compress(s) for s in snapshots]
+        snapshots_compressed = [
+            jax.device_put(s) for s in snapshots_compressed
+        ]
 
     # Step 2b — batched GP fits for all (trajectory, mode) pairs at once.
     t_est = np.linspace(
@@ -248,8 +253,9 @@ def run_heat_multi(
     # Generalization at unseen input parameters (``main.py:247-303``).
     if generalization_test:
         fom_new = make_fom(config.test_parameters)
-        truth_new = np.asarray(fom_new.solve(q0_full, t_pred))
-        compressed_new = basis.compress(truth_new)
+        with jax.default_device(jax.devices("cpu")[0]):
+            truth_new = np.asarray(fom_new.solve(q0_full, t_pred))
+            compressed_new = np.asarray(basis.compress(truth_new))
         draws, valid = bayesian_model.solution_posterior(
             keys["newparam"],
             compressed_new[:, 0],
