@@ -8,7 +8,11 @@ ex1a scale (r = 6 modes, m = 200 samples, m' = 400 regression points):
      time domains of ROM integrations
   E. posterior ensemble: 1000 draws integrated over 401 output times
 
-TPU path: one jitted computation — batched eigh/SVD + vmapped RK4.
+TPU path (hybrid precision policy, utils.hostmath): stage A — GP
+estimation factorizations + regression SVD on the host CPU device (true
+f64, milliseconds); stage B — the 81x20x2 screening grid and the
+1000-draw ensemble batched on the TPU in f32. Both stages are timed
+together.
 CPU baseline: the same math via NumPy/SciPy (LAPACK + scipy.solve_ivp),
 serial per mode / draw / candidate, as the reference executes it.
 
@@ -167,21 +171,21 @@ def run_cpu(ts, Y, t_est, t_pred, hyper):
     return acc / max(count, 1)
 
 
-# ---------------- TPU path (one jitted computation) -----------------------------
+# ---------------- TPU path (host f64 stage + accelerator f32 stage) -------------
 def make_tpu_fn():
+    import os
+
     import jax
     import jax.numpy as jnp
     from gp_bayesopinf_tpu.gp.estimates import gp_estimates
-    from gp_bayesopinf_tpu.solve.lstsq import weighted_lstsq_fit
-    from gp_bayesopinf_tpu.solve.ivp import stability_mask
-    from gp_bayesopinf_tpu.rom.model import GalerkinROM
-
     from gp_bayesopinf_tpu.ops.ensemble_pallas import (
         quadratic_ensemble_screen,
         quadratic_ensemble_screen_xla,
     )
-
-    import os
+    from gp_bayesopinf_tpu.solve.lstsq import weighted_lstsq_fit
+    from gp_bayesopinf_tpu.solve.ivp import stability_mask
+    from gp_bayesopinf_tpu.rom.model import GalerkinROM
+    from gp_bayesopinf_tpu.utils.hostmath import host_jit, to_accelerator
 
     rom = GalerkinROM("cAH", state_dimension=R, substeps=4)
     grid = jnp.asarray(np.logspace(-16, 4, NGRID))
@@ -190,17 +194,14 @@ def make_tpu_fn():
         and os.environ.get("GPBOI_PALLAS", "0") == "1"
     )
 
-    def core(ts, Y, t_est, t_pred, hyper, key):
-        # Cholesky-weighted estimation: no f64 eigendecomposition (the f64
-        # eigh is XLA-emulated on TPU and costs ~10 s at this size; the
-        # triangular-solve reformulation yields the identical posterior).
+    # Stage A (host, true f64): estimation factorizations + regression SVD.
+    def host_stage(ts, Y, t_est, hyper):
         ests = jax.vmap(
             lambda y, h: gp_estimates(
                 ts, y, t_est, h[0], h[1], h[2], eta=ETA, method="chol"
             )
         )(Y, hyper)
         states = ests.state_estimate
-
         D = rom.data_matrix(states)[None]
         fac = weighted_lstsq_fit(
             D,
@@ -208,14 +209,16 @@ def make_tpu_fn():
             ests.ddt_estimate[:, None],
             weights_are_cholesky=True,
         )
+        return states, fac
 
+    host_stage_jit = host_jit(host_stage)
+
+    # Stage B (accelerator, f32): screening grid + final ensemble.
+    def accel_stage(states, fac, t_est, t_pred, key):
         shift = jnp.mean(states, axis=1)
         limits = 5.0 * jnp.max(jnp.abs(states - shift[:, None]), axis=1)
         q0 = states[:, 0]
 
-        # Grid screening via the Pallas megakernel: all G x ndraws draw
-        # states stay in VMEM; trajectories never touch HBM; f32 (the TPU
-        # has no native f64 — emulation inflates compile AND runtime).
         keys = jax.random.split(key, NGRID + 1)
         ohats = jax.vmap(
             lambda lam, k: fac.sample(lam, k, NDRAWS_GRID)
@@ -236,7 +239,6 @@ def make_tpu_fn():
         errs = jnp.where(stable & jnp.isfinite(errs), errs, 1e12)
         lam = grid[jnp.argmin(errs)]
 
-        # Final 1000-draw ensemble (f32 integration path).
         f32 = jnp.float32
         ohats = fac.sample(lam, keys[-1], NDRAWS_ENS).astype(f32)
         q32, t32 = q0.astype(f32), t_pred.astype(f32)
@@ -245,7 +247,16 @@ def make_tpu_fn():
         acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
         return acc / jnp.maximum(jnp.sum(ok), 1), lam
 
-    return jax.jit(core)
+    accel_stage_jit = jax.jit(accel_stage)
+
+    def core(ts, Y, t_est, t_pred, hyper, key):
+        states, fac = host_stage_jit(ts, Y, t_est, hyper)
+        states, fac, t_est_a, t_pred_a = to_accelerator(
+            (states, fac, t_est, t_pred)
+        )
+        return accel_stage_jit(states, fac, t_est_a, t_pred_a, key)
+
+    return core
 
 
 def main():
