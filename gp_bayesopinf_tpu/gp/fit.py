@@ -170,26 +170,39 @@ def fit_gp_hyperparameters(
     """
     import numpy as np
 
+    from ..utils.hostmath import host_jit
+
     fit_dtype = fit_dtype or default_fit_dtype()
     r = Y.shape[0]
     T = jnp.broadcast_to(t, (r, t.shape[-1])) if t.ndim == 1 else t
-    T = T.astype(fit_dtype)
-    Yc = Y.astype(fit_dtype)
-    box_c = BoxTransform(box.lo.astype(fit_dtype), box.hi.astype(fit_dtype))
+    Ts = T.astype(fit_dtype)
+    Ys = Y.astype(fit_dtype)
+    box_s = BoxTransform(box.lo.astype(fit_dtype), box.hi.astype(fit_dtype))
     keys = jax.random.split(key, r)
 
-    z_scr, v_scr = _screen_all(T, Yc, box_c, keys, n_restarts, adam_steps, adam_lr)
+    # Phase 1 — screening on the accelerator: one batched population, the
+    # per-step cost amortizes across all (mode, restart) instances.
+    z_scr, v_scr = _screen_all(Ts, Ys, box_s, keys, n_restarts, adam_steps, adam_lr)
     best = np.asarray(jnp.argmin(v_scr, axis=1))  # host-side winner select
     z_best = z_scr[jnp.arange(r), best]
     v_best = v_scr[jnp.arange(r), best]
 
-    z_pol, v_pol = _polish_all(T, Yc, box_c, z_best, polish_iters)
-    take = v_pol < v_best
-    z_fin = jnp.where(take[:, None], z_pol, z_best)
-    v_fin = jnp.where(take, v_pol, v_best)
-
-    log_params = jax.vmap(box_c.to_log_params)(z_fin).astype(jnp.float64)
-    params = jnp.exp(log_params)
-    return FitResult(
-        params[:, 0], params[:, 1], params[:, 2], v_fin.astype(jnp.float64)
+    # Phase 2 — polish on the host in f64: only r L-BFGS instances, each
+    # line-search evaluation is one LAPACK Cholesky (sub-millisecond); on
+    # the TPU the same sequential factorization is latency-bound (~100 ms
+    # per evaluation) and emulated-f64 besides.
+    f64 = jnp.float64
+    box64 = BoxTransform(box.lo.astype(f64), box.hi.astype(f64))
+    z_pol, v_pol = host_jit(_polish_all, static_argnames=("polish_iters",))(
+        T.astype(f64), Y.astype(f64), box64, z_best.astype(f64), polish_iters
     )
+    v_best64 = v_best.astype(f64)
+    # NLML values from f32 screening and f64 polish are compared on the
+    # polish scale; accept the polish when it improves.
+    take = np.asarray(v_pol < v_best64)
+    z_fin = jnp.where(jnp.asarray(take)[:, None], z_pol, z_best.astype(f64))
+    v_fin = jnp.where(jnp.asarray(take), v_pol, v_best64)
+
+    log_params = jax.vmap(box64.to_log_params)(z_fin)
+    params = jnp.exp(log_params)
+    return FitResult(params[:, 0], params[:, 1], params[:, 2], v_fin)
