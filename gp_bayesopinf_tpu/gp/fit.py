@@ -196,12 +196,17 @@ def fit_gp_hyperparameters(
     z_pol, v_pol = host_jit(_polish_all, static_argnames=("polish_iters",))(
         T.astype(f64), Y.astype(f64), box64, z_best.astype(f64), polish_iters
     )
-    v_best64 = v_best.astype(f64)
-    # NLML values from f32 screening and f64 polish are compared on the
-    # polish scale; accept the polish when it improves.
-    take = np.asarray(v_pol < v_best64)
-    z_fin = jnp.where(jnp.asarray(take)[:, None], z_pol, z_best.astype(f64))
-    v_fin = jnp.where(jnp.asarray(take), v_pol, v_best64)
+    # Selection math happens in NumPy on host copies: screening outputs may
+    # be committed to an accelerator (or sharded over a mesh) while the
+    # polish is host-committed, and the r x 3 arithmetic is trivial.
+    v_pol_h, z_pol_h = np.asarray(v_pol), np.asarray(z_pol)
+    v_best_h, z_best_h = (
+        np.asarray(v_best, dtype=np.float64),
+        np.asarray(z_best, dtype=np.float64),
+    )
+    take = v_pol_h < v_best_h
+    z_fin = jnp.asarray(np.where(take[:, None], z_pol_h, z_best_h))
+    v_fin = jnp.asarray(np.where(take, v_pol_h, v_best_h))
 
     log_params = jax.vmap(box64.to_log_params)(z_fin)
     params = jnp.exp(log_params)
