@@ -13,7 +13,13 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from .operators import assemble_data_matrix, extract_operators, rom_rhs, total_dim
+from .operators import (
+    assemble_data_matrix,
+    extract_operators,
+    rom_rhs,
+    rom_rhs_jacobian,
+    total_dim,
+)
 from ..solve.ivp import dirk2_solve, rk4_solve
 
 
@@ -86,5 +92,13 @@ class GalerkinROM:
         if self.ivp_method == "rk4":
             return rk4_solve(f, q0, t_eval, substeps=self.substeps)
         if self.ivp_method == "dirk2":
-            return dirk2_solve(f, q0, t_eval, substeps=self.substeps)
+
+            def jac(t, q):
+                u = None if input_func is None else jnp.atleast_1d(input_func(t))
+                return rom_rhs_jacobian(
+                    Ohat, q, u, self.structure,
+                    self.state_dimension, self.input_dimension,
+                )
+
+            return dirk2_solve(f, q0, t_eval, jac=jac, substeps=self.substeps)
         raise ValueError(f"unknown ivp_method '{self.ivp_method}'")

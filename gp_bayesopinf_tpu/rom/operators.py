@@ -19,7 +19,7 @@ from typing import Dict, Optional
 
 import jax.numpy as jnp
 
-from ..ops.quadratic import ckron, state_input_kron
+from ..ops.quadratic import ckron, ckron_indices, state_input_kron
 
 _VALID = set("cAHBN")
 
@@ -93,6 +93,37 @@ def assemble_data_matrix(
         elif ch == "N":
             cols.append(state_input_kron(inputs, states))
     return jnp.concatenate(cols, axis=0).T
+
+
+def rom_rhs_jacobian(
+    Ohat: jnp.ndarray,
+    q: jnp.ndarray,
+    u,
+    structure: str,
+    r: int,
+    m: int = 0,
+) -> jnp.ndarray:
+    """Analytic state Jacobian of ``rom_rhs`` (closed form — cheaper and
+    far simpler to compile than autodiff through the feature map; used by
+    the implicit integrator's Newton iterations).
+
+    d(rhs)_i/dq_j = A[i,j] + sum over quadratic features H[i,(a,b)]
+    (q_b if j==a) + (q_a if j==b), plus the bilinear input term
+    N[i,(a,j)] u_a.
+    """
+    ops = extract_operators(Ohat, structure, r, m)
+    J = jnp.zeros((r, r), dtype=Ohat.dtype)
+    if "A" in ops:
+        J = J + ops["A"]
+    if "H" in ops:
+        rows, cols = ckron_indices(r)
+        H = ops["H"]  # (r, r(r+1)/2)
+        J = J.at[:, rows].add(H * q[cols][None, :])
+        J = J.at[:, cols].add(H * q[rows][None, :])
+    if "N" in ops:
+        N = ops["N"].reshape(r, m, r)  # (i, a, b)
+        J = J + jnp.einsum("iab,a->ib", N, jnp.atleast_1d(u))
+    return J
 
 
 def rom_rhs(

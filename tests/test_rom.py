@@ -141,3 +141,23 @@ def test_galerkin_rom_quadratic_recovery(rng):
     D = np.asarray(assemble_data_matrix(Q, None, "cAH"))
     Ohat_fit = np.linalg.lstsq(D, np.asarray(dQ).T, rcond=None)[0].T
     np.testing.assert_allclose(Ohat_fit, Ohat_true, atol=1e-6)
+
+
+def test_rom_rhs_jacobian_matches_autodiff(rng):
+    """Closed-form Jacobian equals jacfwd of the RHS for cAHBN."""
+    from gp_bayesopinf_tpu.rom.operators import rom_rhs_jacobian
+
+    r, m = 4, 2
+    d = sum(operator_dims("cAHBN", r, m).values())
+    Ohat = jnp.asarray(rng.standard_normal((r, d)))
+    q = jnp.asarray(rng.standard_normal(r))
+    u = jnp.asarray(rng.standard_normal(m))
+    J = rom_rhs_jacobian(Ohat, q, u, "cAHBN", r, m)
+    J_ad = jax.jacfwd(lambda qq: rom_rhs(Ohat, qq, u, "cAHBN", r, m))(q)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), rtol=1e-10)
+    # Autonomous cAH variant too.
+    d2 = sum(operator_dims("cAH", r, 0).values())
+    O2 = jnp.asarray(rng.standard_normal((r, d2)))
+    J2 = rom_rhs_jacobian(O2, q, None, "cAH", r, 0)
+    J2_ad = jax.jacfwd(lambda qq: rom_rhs(O2, qq, None, "cAH", r, 0))(q)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J2_ad), rtol=1e-10)
