@@ -271,9 +271,19 @@ def auto_regularize(
         bounds = [best_reg / 10.0, best_reg * 10.0]
     else:
         keys = jax.random.split(key, len(grid))
-        grid_errors = np.asarray(
-            batched(jnp.asarray(grid, dtype=jnp.result_type(float)), keys)
-        )
+        grid_j = jnp.asarray(grid, dtype=jnp.result_type(float))
+        # Evaluate in fixed-size chunks: one device execution per chunk
+        # keeps single-program runtimes bounded (long monolithic programs
+        # trip accelerator watchdogs for the heavier implicit-ROM grids)
+        # and bounds peak memory. The last chunk is padded by repetition.
+        G = len(grid)
+        CHUNK = min(16, G)
+        parts = []
+        for s in range(0, G, CHUNK):
+            idx = np.arange(s, s + CHUNK) % G  # pad by wrapping
+            part = batched(grid_j[idx], keys[idx])
+            parts.append(np.asarray(part)[: min(CHUNK, G - s)])
+        grid_errors = np.concatenate(parts)[:G]
         if verbose:
             for lam, e in zip(grid, grid_errors):
                 tag = "UNSTABLE" if e >= MAXOPTVAL else f"{e:.2%} error"
