@@ -188,6 +188,7 @@ def auto_regularize(
     screen_dtype=None,
     rom=None,
     use_kernel: Optional[bool] = None,
+    screen_on_host: bool = False,
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
@@ -208,10 +209,13 @@ def auto_regularize(
 
     # The regression factorization is built on the host (true f64); the
     # screening integrations run on the accelerator — move the spectra
-    # there (sampling precision is f32-safe).
-    lstsq = to_accelerator(lstsq)
-    initial_conditions = to_accelerator(initial_conditions)
-    snapshots_est = to_accelerator(snapshots_est)
+    # there (sampling precision is f32-safe). ``screen_on_host`` keeps the
+    # whole search host-side instead (used for implicit-integrator ROMs,
+    # whose compiled nested Newton/solve graphs crash this TPU runtime).
+    if not screen_on_host:
+        lstsq = to_accelerator(lstsq)
+        initial_conditions = to_accelerator(initial_conditions)
+        snapshots_est = to_accelerator(snapshots_est)
 
     import jax as _jax
 
@@ -262,8 +266,14 @@ def auto_regularize(
             ndraws,
             screen_dtype=screen_dtype,
         )
-        batched = jax.jit(jax.vmap(objective))
-        single = jax.jit(objective)
+        if screen_on_host:
+            from ..utils.hostmath import host_jit
+
+            batched = host_jit(jax.vmap(objective))
+            single = host_jit(objective)
+        else:
+            batched = jax.jit(jax.vmap(objective))
+            single = jax.jit(objective)
 
     if len(grid) == 1:
         best_reg = float(grid[0])
