@@ -57,7 +57,7 @@ def euler_reduced_figure(prefix: str, savedir: Optional[str] = None):
             hf["training_time_domain"][:],
             hf["prediction_time_domain"][:],
             hf["snapshots_compressed"][:],
-            hf["snapshots_compressed"][:],  # truth unavailable reduced: reuse
+            None,  # compressed truth is not part of the reduced artifact
             hf["gp_means"][:],
             hf["gp_stds"][:],
             draws,

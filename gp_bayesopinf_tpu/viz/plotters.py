@@ -134,7 +134,10 @@ class ReducedPlotter(BasePlotter):
             sampling_time_domain, training_time_domain, prediction_time_domain
         )
         self.snapshots_compressed = np.asarray(snapshots_compressed)
-        self.true_states_compressed = np.asarray(true_states_compressed)
+        self.true_states_compressed = (
+            None if true_states_compressed is None
+            else np.asarray(true_states_compressed)
+        )
         self.gp_means = np.asarray(gp_means)
         self.gp_stds = np.asarray(gp_stds)
         self.draws_compressed = np.asarray(draws_compressed)
@@ -156,10 +159,11 @@ class ReducedPlotter(BasePlotter):
         return fig
 
     def plot_posterior(self, individual: bool = False):
-        r = min(self.true_states_compressed.shape[0], self.MAXMODES)
+        r = min(self.draws_compressed.shape[1], self.MAXMODES)
         fig, axes = self._grid(r)
         for i, ax in enumerate(axes):
-            self.plot_truth(ax, self.true_states_compressed[i])
+            if self.true_states_compressed is not None:
+                self.plot_truth(ax, self.true_states_compressed[i])
             if individual:
                 self.plot_draws(ax, self.draws_compressed[:, i, :])
             else:
@@ -186,7 +190,9 @@ class ReducedPlotter(BasePlotter):
                 "gp_stds",
                 "draws_compressed",
             ):
-                hf.create_dataset(name, data=getattr(self, name))
+                value = getattr(self, name)
+                if value is not None:
+                    hf.create_dataset(name, data=value)
 
     @classmethod
     def load(cls, path):

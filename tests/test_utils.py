@@ -105,3 +105,18 @@ def test_distributed_mesh_helpers():
     initialize(num_processes=1)  # no-op path
     mesh = global_mesh({"dp": -1})
     assert mesh.devices.size == 8
+
+
+def test_hostmath_placement():
+    import jax.numpy as jnp
+    from gp_bayesopinf_tpu.utils.hostmath import (
+        host_device, host_jit, to_accelerator,
+    )
+
+    dev = host_device()
+    assert dev.platform == "cpu"
+    f = host_jit(lambda x: jnp.linalg.cholesky(x @ x.T + 10 * jnp.eye(4)))
+    out = f(jnp.eye(4))
+    assert out.devices() == {dev}
+    back = to_accelerator(out)
+    assert np.allclose(np.asarray(back), np.asarray(out))
