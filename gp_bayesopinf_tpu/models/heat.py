@@ -9,10 +9,15 @@ Behavioral spec: reference ``models/pde_models.py:572-1133``:
 
 Second-order finite differences in space; the stiff system is integrated
 with the L-stable DIRK solver (reference uses scipy BDF with the analytic
-Jacobian, ``pde_models.py:776-840``).
+sparse Jacobian, ``pde_models.py:776-840``). The Jacobian here is
+tridiagonal (diffusion stencil) plus a diagonal reaction term, so every
+Newton system inside the integrator is solved in O(N) by the Thomas path
+of :func:`gp_bayesopinf_tpu.solve.ivp.dirk2_solve` — the TPU-native answer
+to the reference's sparse-BDF efficiency.
 """
 
 import dataclasses
+from functools import cached_property
 
 import jax
 import jax.numpy as jnp
@@ -47,15 +52,18 @@ class HeatBimodal:
         sd = np.asarray(self.spatial_domain)
         return float(sd[1] - sd[0])
 
-    # -- precomputed operators (host-side, cheap) --------------------------------
-    def _operators(self):
+    # -- precomputed operators (built once per instance) ---------------------------
+    @cached_property
+    def _ops(self):
+        """(dx2inv, c, B) — the stencil coefficient, BC constant vector and
+        forcing input matrix, assembled once (the reference precomputes the
+        sparse stiffness the same way, ``pde_models.py:618-638``).
+
+        Cached as host numpy: the first access may happen inside a jit
+        trace, and caching traced jnp constants would leak tracers.
+        """
         dof = self.N
         dx2inv = self.diffusion / self.dx**2
-        A = (
-            np.diag(np.full(dof - 1, dx2inv), -1)
-            + np.diag(np.full(dof, -2 * dx2inv))
-            + np.diag(np.full(dof - 1, dx2inv), 1)
-        )
         c = np.zeros(dof)
         c[0] = self.left_bc * dx2inv
         c[-1] = self.right_bc * dx2inv
@@ -65,19 +73,26 @@ class HeatBimodal:
                 1.0 / (1.0 + 100.0 * (self.x - 0.75) ** 2),
             ]
         )
-        return jnp.asarray(A), jnp.asarray(c), jnp.asarray(B)
+        return dx2inv, c, B
 
     @property
     def stiffness(self):
-        return self._operators()[0]
+        """Dense (N, N) diffusion operator (for inspection/parity checks;
+        the solver itself only touches the three diagonals)."""
+        dof, dx2inv = self.N, self._ops[0]
+        return (
+            jnp.diag(jnp.full(dof - 1, dx2inv), -1)
+            + jnp.diag(jnp.full(dof, -2 * dx2inv))
+            + jnp.diag(jnp.full(dof - 1, dx2inv), 1)
+        )
 
     @property
     def constant(self):
-        return self._operators()[1]
+        return jnp.asarray(self._ops[1])
 
     @property
     def input_matrix(self):
-        return self._operators()[2]
+        return jnp.asarray(self._ops[2])
 
     # -- forcing -------------------------------------------------------------------
     @staticmethod
@@ -98,46 +113,81 @@ class HeatBimodal:
         return h1 - h2 + nonhom
 
     # -- dynamics -----------------------------------------------------------------------
-    def _rhs_terms(self, t, q, A, c, B):
-        return c + A @ q + B @ self.oscillators(t, self.a, self.b)
+    def _laplacian(self, q):
+        """Second-difference stencil on the interior DOF; boundary
+        contributions live in the constant vector."""
+        dx2inv = self._ops[0]
+        qm1 = jnp.concatenate([jnp.zeros((1,), q.dtype), q[:-1]])
+        qp1 = jnp.concatenate([q[1:], jnp.zeros((1,), q.dtype)])
+        return dx2inv * (qm1 - 2.0 * q + qp1)
+
+    def _rhs_terms(self, t, q):
+        _, c, B = self._ops
+        return c + self._laplacian(q) + B @ self.oscillators(t, self.a, self.b)
 
     def derivative(self, t, q):
         """Interior-DOF RHS."""
-        A, c, B = self._operators()
-        return self._rhs_terms(t, q, A, c, B)
+        return self._rhs(t, q)
 
     def jacobian(self, t, q):
-        return self._operators()[0]
+        """Dense (N, N) state Jacobian (API parity; the integrator uses
+        the tridiagonal form from :meth:`jacobian_tridiag`)."""
+        dl, d, du = self.jacobian_tridiag(t, q)
+        return jnp.diag(dl[1:], -1) + jnp.diag(d) + jnp.diag(du[:-1], 1)
+
+    def jacobian_tridiag(self, t, q):
+        """(dl, diag, du) of the RHS Jacobian, gtsv layout (dl[0] and
+        du[-1] zero)."""
+        dx2inv = self._ops[0]
+        n = q.shape[0]
+        dl = jnp.full((n,), dx2inv, q.dtype).at[0].set(0.0)
+        du = jnp.full((n,), dx2inv, q.dtype).at[-1].set(0.0)
+        d = jnp.full((n,), -2.0 * dx2inv, q.dtype) + self._jac_diag_extra(q)
+        return dl, d, du
+
+    def _jac_diag_extra(self, q):
+        """Diagonal reaction contribution (zero for the linear model)."""
+        return jnp.zeros_like(q)
 
     def solve(self, initial_conditions, timepoints) -> jnp.ndarray:
         """Integrate; returns (N+2, k) including boundary rows.
 
-        Accepts ICs with or without the boundary points (reference
-        ``pde_models.py:808-824`` validates boundary consistency).
+        Accepts ICs with or without the boundary points. When boundary
+        points are present they must match the Dirichlet values — the
+        reference validates this the same way (``pde_models.py:808-824``).
         """
         q0 = jnp.asarray(initial_conditions)
         if q0.shape[0] == self.N + 2:
+            bl, br = float(q0[0]), float(q0[-1])
+            if abs(bl - self.left_bc) > 1e-8 or abs(br - self.right_bc) > 1e-8:
+                raise ValueError(
+                    "initial condition boundary values "
+                    f"({bl:.6g}, {br:.6g}) do not match the Dirichlet "
+                    f"boundary conditions ({self.left_bc:.6g}, "
+                    f"{self.right_bc:.6g})"
+                )
             q0 = q0[1:-1]
-        A, c, B = self._operators()
-
-        def f(t, q):
-            return self._rhs(t, q, A, c, B)
-
-        def jac(t, q):
-            return self._jac(t, q, A)
+        elif q0.shape[0] != self.N:
+            raise ValueError(
+                f"initial conditions must have {self.N} (interior) or "
+                f"{self.N + 2} (full-grid) entries, got {q0.shape[0]}"
+            )
 
         t_eval = jnp.asarray(timepoints)
-        sol = dirk2_solve(f, q0, t_eval, jac=jac, substeps=self.substeps)
+        sol = dirk2_solve(
+            self._rhs,
+            q0,
+            t_eval,
+            jac_tridiag=self.jacobian_tridiag,
+            substeps=self.substeps,
+        )
         left = jnp.full((1, t_eval.shape[0]), self.left_bc, dtype=sol.dtype)
         right = jnp.full((1, t_eval.shape[0]), self.right_bc, dtype=sol.dtype)
         return jnp.concatenate([left, sol, right], axis=0)
 
-    # rhs/jacobian hooks shared with the cubic subclass ---------------------------
-    def _rhs(self, t, q, A, c, B):
-        return self._rhs_terms(t, q, A, c, B)
-
-    def _jac(self, t, q, A):
-        return A
+    # rhs hook shared with the cubic subclass -------------------------------------
+    def _rhs(self, t, q):
+        return self._rhs_terms(t, q)
 
     # -- noise ---------------------------------------------------------------------------
     def noise(self, key, states, noise_level=0.0):
@@ -160,15 +210,8 @@ class CubicHeatBimodal(HeatBimodal):
     """Heat equation with a cubic reaction term -q^3
     (reference ``pde_models.py:1082-1133``)."""
 
-    def _rhs(self, t, q, A, c, B):
-        return self._rhs_terms(t, q, A, c, B) - q**3
+    def _rhs(self, t, q):
+        return self._rhs_terms(t, q) - q**3
 
-    def _jac(self, t, q, A):
-        return A - jnp.diag(3.0 * q * q)
-
-    def derivative(self, t, q):
-        A, c, B = self._operators()
-        return self._rhs(t, q, A, c, B)
-
-    def jacobian(self, t, q):
-        return self._jac(t, q, self._operators()[0])
+    def _jac_diag_extra(self, q):
+        return -3.0 * q * q

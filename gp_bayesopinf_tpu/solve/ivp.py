@@ -41,6 +41,58 @@ def _clip_state(q: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(q, -1e18, 1e18)
 
 
+# Newton systems with state dimension at or below this threshold are solved
+# with the unrolled elimination below instead of ``jnp.linalg.solve``: the
+# resulting graph is pure elementwise arithmetic (no LU custom calls), which
+# both vmaps cheaply over posterior ensembles and avoids the XLA:TPU
+# crash observed for nested scan+vmap+LU graphs (see CLAUDE.md).
+SMALL_SOLVE_MAX = 8
+
+
+def solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for small, static n by unrolled Gaussian elimination.
+
+    No pivoting: the intended inputs are SDIRK Newton matrices
+    I - h*gamma*J, which are near-identity for the step sizes the
+    integrators take, so the diagonal never degenerates. The unrolled form
+    is a straight-line XLA graph of fused multiply-adds — ideal under
+    ``vmap`` over draws and free of linear-algebra custom calls.
+    """
+    n = b.shape[0]
+    rows = [A[i] for i in range(n)]
+    rhs = [b[i] for i in range(n)]
+    for k in range(n):
+        inv = 1.0 / rows[k][k]
+        for i in range(k + 1, n):
+            f = rows[i][k] * inv
+            rows[i] = rows[i] - f * rows[k]
+            rhs[i] = rhs[i] - f * rhs[k]
+    x: list = [None] * n
+    for i in reversed(range(n)):
+        acc = rhs[i]
+        for j in range(i + 1, n):
+            acc = acc - rows[i][j] * x[j]
+        x[i] = acc / rows[i][i]
+    return jnp.stack(x)
+
+
+def thomas_solve(
+    dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Solve a tridiagonal system given the three diagonals.
+
+    ``dl`` is the subdiagonal with dl[0] ignored, ``du`` the superdiagonal
+    with du[-1] ignored (LAPACK gtsv layout). Dispatches to XLA's native
+    tridiagonal solve — O(n) work and memory versus the O(n^3)/O(n^2) of a
+    dense solve, which is what makes implicit stepping of the ~500-DOF heat
+    FOM (reference ``models/pde_models.py:776-840``, scipy BDF with a
+    sparse Jacobian) cheap in this framework too.
+    """
+    from jax.lax.linalg import tridiagonal_solve
+
+    return tridiagonal_solve(dl, d, du, b[:, None])[:, 0]
+
+
 def rk4_solve(
     rhs: Callable,
     q0: jnp.ndarray,
@@ -103,6 +155,7 @@ def dirk2_solve(
     q0: jnp.ndarray,
     t_eval: jnp.ndarray,
     jac: Optional[Callable] = None,
+    jac_tridiag: Optional[Callable] = None,
     substeps: int = 2,
     newton_iters: int = 6,
     unroll: int = 2,
@@ -117,10 +170,18 @@ def dirk2_solve(
               | 1-gamma  gamma
 
     Each stage solves k = rhs(t_s, q + h a k) with ``newton_iters`` full
-    Newton steps using a dense Jacobian (supplied analytically via ``jac``
-    or computed with ``jax.jacfwd``). State dimensions here are small
-    (ROMs: r <= ~30) to moderate (heat FOM: ~500), so dense solves map
-    well onto the MXU.
+    Newton steps. The Newton linear solve picks the cheapest structure
+    available:
+
+    * ``jac_tridiag(t, q) -> (dl, diag, du)`` — the RHS Jacobian is
+      tridiagonal (1-D finite-difference diffusion + diagonal reaction:
+      the heat FOM, reference ``models/pde_models.py:618-627,1110-1119``);
+      the Newton matrix I - h*gamma*J stays tridiagonal and is solved in
+      O(n) by :func:`thomas_solve`.
+    * small n (<= ``SMALL_SOLVE_MAX``) — unrolled elimination
+      (:func:`solve_small`), the vmap-friendly path for ROM ensembles.
+    * otherwise — dense ``jnp.linalg.solve`` on the Jacobian (analytic via
+      ``jac`` or computed with ``jax.jacfwd``).
 
     Returns
     -------
@@ -130,14 +191,23 @@ def dirk2_solve(
     n = q0.shape[0]
     eye = jnp.eye(n, dtype=q0.dtype)
 
+    def newton_solve(t_s, x, h, F):
+        if jac_tridiag is not None:
+            dl, dg, du = jac_tridiag(t_s, x)
+            hg = h * _GAMMA
+            return thomas_solve(-hg * dl, 1.0 - hg * dg, -hg * du, F)
+        J = eye - h * _GAMMA * jac_fn(t_s, x)
+        if n <= SMALL_SOLVE_MAX:
+            return solve_small(J, F)
+        return jnp.linalg.solve(J, F)
+
     def solve_stage(t_s, q_base, h, k_init):
         """Newton-solve k = rhs(t_s, q_base + h*gamma*k)."""
 
         def newton(_, k):
             x = q_base + h * _GAMMA * k
             F = k - rhs(t_s, x)
-            J = eye - h * _GAMMA * jac_fn(t_s, x)
-            dk = jnp.linalg.solve(J, F)
+            dk = newton_solve(t_s, x, h, F)
             return k - dk
 
         return jax.lax.fori_loop(0, newton_iters, newton, k_init)
