@@ -235,16 +235,18 @@ def _derivative_comparison_data_impl(
     key, ndraws,
 ) -> Dict[str, np.ndarray]:
     dqdtmeans = np.stack([np.asarray(gp.ddt_estimate) for gp in gps])
-    # Std of ndraws samples from N(ddt_estimate, ddt_covariance).
+    # Std of ndraws samples from N(ddt_estimate, ddt_covariance). The
+    # covariance is only positive SEMI-definite (it can have numerically
+    # negative eigenvalues), so the factor comes from an eigendecomposition
+    # with clamped spectrum rather than a Cholesky.
     stds = []
     for i, gp in enumerate(gps):
         kd = jax.random.fold_in(key, i)
-        L = jnp.linalg.cholesky(
-            gp.ddt_covariance
-            + 1e-12 * jnp.eye(gp.ddt_covariance.shape[0])
-        )
-        z = jax.random.normal(kd, (ndraws, gp.ddt_covariance.shape[0]))
-        samples = gp.ddt_estimate[None] + z @ L.T
+        C = 0.5 * (gp.ddt_covariance + gp.ddt_covariance.T)
+        w, V = jnp.linalg.eigh(C)
+        factor = V * jnp.sqrt(jnp.clip(w, 0.0))[None, :]
+        z = jax.random.normal(kd, (ndraws, C.shape[0]))
+        samples = gp.ddt_estimate[None] + z @ factor.T
         stds.append(np.asarray(jnp.std(samples, axis=0)))
     dqdtstds = np.stack(stds)
 

@@ -207,9 +207,6 @@ def run_heat_multi(
             grid=config.reg_grid,
             ndraws=20,
             verbose=verbose,
-            # Implicit-ROM screening graphs crash this TPU runtime; the
-            # host evaluates them robustly (see regsearch.screen_on_host).
-            screen_on_host=(jax.default_backend() == "tpu"),
         )
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianROM(rom, posterior, res.regularizer)
