@@ -1,20 +1,25 @@
-"""Benchmark: flagship Euler GP-BayesOpInf core on TPU vs CPU baseline.
+"""Benchmark: flagship Euler GP-BayesOpInf pipeline on TPU vs CPU baseline.
 
 Measures the reference's hot loops (SURVEY.md section 3.1) at the flagship
-ex1a scale (r = 6 modes, m = 200 samples, m' = 400 regression points):
+ex1a scale (r = 6 modes, m = 200 samples, m' = 400 regression points),
+INCLUDING the reference's single most expensive stage:
 
+  B. GP hyperparameter fitting: 1 + 100 L-BFGS-B restarts per mode on the
+     exact-GP NLML (the sklearn schedule, ``codebase/gpkernels.py:302-308``,
+     ``PDEs/config_euler.py:103``)
   C. GP estimation per mode: Cholesky solves + (m' x m') eigh for sqrtW
   D. regularization grid search: 81 candidates x 20 posterior draws x 2
      time domains of ROM integrations
   E. posterior ensemble: 1000 draws integrated over 401 output times
 
-TPU path (hybrid precision policy, utils.hostmath): stage A — GP
-estimation factorizations + regression SVD on the host CPU device (true
-f64, milliseconds); stage B — the 81x20x2 screening grid and the
-1000-draw ensemble batched on the TPU in f32. Both stages are timed
-together.
-CPU baseline: the same math via NumPy/SciPy (LAPACK + scipy.solve_ivp),
-serial per mode / draw / candidate, as the reference executes it.
+TPU path (hybrid precision policy, utils.hostmath): GP fitting = one
+batched Adam screen over all (mode x restart) starts on the TPU + host-f64
+L-BFGS polish; estimation factorizations + regression SVD on the host CPU
+device (true f64, milliseconds); the 81x20x2 screening grid and the
+1000-draw ensemble batched on the TPU in f32. All stages timed together.
+CPU baseline: the same math via NumPy/SciPy (LAPACK + scipy.solve_ivp +
+serial L-BFGS-B restarts with the analytic NLML gradient), serial per
+mode / restart / draw / candidate, as the reference executes it.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <tpu seconds>, "unit": "s",
@@ -29,6 +34,9 @@ import numpy as np
 
 R, M, MP, K = 6, 200, 400, 401
 NDRAWS_GRID, NGRID, NDRAWS_ENS = 20, 81, 1000
+N_RESTARTS = 100  # reference: n_restarts_optimizer=100 (config_euler.py:103)
+# Reference Euler GP bounds (PDEs/config_euler.py:100-102).
+GP_BOUNDS = ((1e-5, 1e5), (1e-5, 1e2), (1e-16, 1e2))
 ETA = 1e-8
 SEED = 27092023
 
@@ -56,10 +64,57 @@ def make_problem():
         )
 
     Y = signal(ts) + 0.01 * rng.standard_normal((R, M))
-    hyper = np.stack(
-        [np.ones(R) * 0.8, np.full(R, 0.005), np.full(R, 1e-4)], axis=1
-    )
-    return ts, Y, t_est, t_pred, hyper
+    return ts, Y, t_est, t_pred
+
+
+# ---------------- CPU GP fitting (serial L-BFGS-B restarts) ---------------------
+def _nlml_and_grad_np(z, t, y):
+    """Exact NLML and its analytic gradient in log-hyperparameter space
+    (the quantities sklearn's L-BFGS-B consumes)."""
+    sigma2, ell, chi = np.exp(z)
+    m = t.size
+    dd = t[:, None] - t[None, :]
+    d2 = dd * dd
+    Krbf = sigma2 * np.exp(-d2 / (2.0 * ell * ell))
+    K = Krbf + chi * np.eye(m)
+    try:
+        L = np.linalg.cholesky(K)
+    except np.linalg.LinAlgError:
+        return 1e30, np.zeros(3)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+    Kinv = np.linalg.solve(L.T, np.linalg.solve(L, np.eye(m)))
+    logdet = 2.0 * np.sum(np.log(np.diag(L)))
+    val = 0.5 * (y @ alpha) + 0.5 * logdet + 0.5 * m * np.log(2 * np.pi)
+    P = Kinv - np.outer(alpha, alpha)
+    g_sigma = 0.5 * np.sum(P * Krbf)
+    g_ell = 0.5 * np.sum(P * (Krbf * (d2 / (ell * ell))))
+    g_chi = 0.5 * chi * np.trace(P)
+    return val, np.array([g_sigma, g_ell, g_chi])
+
+
+def fit_cpu(ts, Y):
+    """Serial multi-restart L-BFGS-B fit, the reference's sklearn schedule:
+    restart 0 from the kernel default (1, 1, 1) projected into bounds, then
+    N_RESTARTS log-uniform starts (``gpkernels.py:302-308``)."""
+    import scipy.optimize
+
+    rng = np.random.default_rng(SEED + 2)
+    lo = np.log([b[0] for b in GP_BOUNDS])
+    hi = np.log([b[1] for b in GP_BOUNDS])
+    hyper = []
+    for i in range(R):
+        best = (np.inf, np.zeros(3))
+        starts = [np.clip(np.zeros(3), lo, hi)]
+        starts += list(rng.uniform(lo, hi, (N_RESTARTS, 3)))
+        for z0 in starts:
+            res = scipy.optimize.minimize(
+                _nlml_and_grad_np, z0, args=(ts, Y[i]), jac=True,
+                method="L-BFGS-B", bounds=list(zip(lo, hi)),
+            )
+            if res.fun < best[0]:
+                best = (res.fun, res.x)
+        hyper.append(np.exp(best[1]))
+    return np.stack(hyper)
 
 
 # ---------------- CPU baseline (NumPy / SciPy, serial) -------------------------
@@ -172,6 +227,22 @@ def run_cpu(ts, Y, t_est, t_pred, hyper):
 
 
 # ---------------- TPU path (host f64 stage + accelerator f32 stage) -------------
+def make_tpu_fit():
+    """Batched GP fit: vmapped Adam screen over all (mode x restart) starts
+    on the accelerator + host-f64 L-BFGS polish (gp/fit.py)."""
+    import jax.numpy as jnp
+    from gp_bayesopinf_tpu.gp.fit import fit_gp_hyperparameters
+    from gp_bayesopinf_tpu.gp.nlml import BoxTransform
+
+    box = BoxTransform.from_bounds(*GP_BOUNDS)
+
+    def fit(ts, Y, key):
+        res = fit_gp_hyperparameters(ts, Y, box, key, n_restarts=N_RESTARTS)
+        return jnp.stack([res.sigma2, res.ell, res.chi], axis=1)
+
+    return fit
+
+
 def make_tpu_fn():
     import os
 
@@ -260,46 +331,65 @@ def make_tpu_fn():
 
 
 def main():
-    ts, Y, t_est, t_pred, hyper = make_problem()
+    ts, Y, t_est, t_pred = make_problem()
 
-    # --- CPU baseline ----------------------------------------------------------
+    # --- CPU baseline (fit + estimate + search + ensemble, serial) ---------------
     _log("running CPU (NumPy/SciPy serial) baseline ...")
     t0 = time.perf_counter()
-    run_cpu(ts, Y, t_est, t_pred, hyper)
-    cpu_s = time.perf_counter() - t0
-    _log(f"CPU baseline: {cpu_s:.2f} s")
+    hyper_cpu = fit_cpu(ts, Y)
+    cpu_fit_s = time.perf_counter() - t0
+    _log(f"CPU fit stage (1+{N_RESTARTS} L-BFGS-B restarts x {R} modes): "
+         f"{cpu_fit_s:.2f} s")
+    t0 = time.perf_counter()
+    run_cpu(ts, Y, t_est, t_pred, hyper_cpu)
+    cpu_core_s = time.perf_counter() - t0
+    cpu_s = cpu_fit_s + cpu_core_s
+    _log(f"CPU estimate+search+ensemble: {cpu_core_s:.2f} s")
+    _log(f"CPU baseline total: {cpu_s:.2f} s")
 
-    # --- TPU path --------------------------------------------------------------
+    # --- TPU path ----------------------------------------------------------------
     import jax
     import jax.numpy as jnp
 
     _log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+    fit = make_tpu_fit()
     fn = make_tpu_fn()
-    args = (
-        jnp.asarray(ts),
-        jnp.asarray(Y),
-        jnp.asarray(t_est),
-        jnp.asarray(t_pred),
-        jnp.asarray(hyper),
-        jax.random.PRNGKey(0),
-    )
+    ts_j, Y_j = jnp.asarray(ts), jnp.asarray(Y)
+    t_est_j, t_pred_j = jnp.asarray(t_est), jnp.asarray(t_pred)
+    fit_key = jax.random.PRNGKey(1)
+    core_key = jax.random.PRNGKey(0)
+
+    def pipeline():
+        hyper = fit(ts_j, Y_j, fit_key)
+        out = fn(ts_j, Y_j, t_est_j, t_pred_j, hyper, core_key)
+        jax.block_until_ready(out)
+        return hyper, out
+
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    hyper_tpu, _ = pipeline()
     _log(f"TPU compile+first run: {time.perf_counter() - t0:.2f} s")
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        pipeline()
     tpu_s = (time.perf_counter() - t0) / reps
-    _log(f"TPU steady-state: {tpu_s:.4f} s")
+    _log(f"TPU steady-state (fit+estimate+search+ensemble): {tpu_s:.4f} s")
+
+    # Capability check: both fitters must land on optima of comparable
+    # quality (the reference's own dual-backend tolerance is loose,
+    # ``ODEs/main.py:131-182``).
+    hyper_tpu = np.asarray(hyper_tpu, dtype=np.float64)
+    for i in range(R):
+        n_cpu = _nlml_and_grad_np(np.log(hyper_cpu[i]), ts, Y[i])[0]
+        n_tpu = _nlml_and_grad_np(np.log(hyper_tpu[i]), ts, Y[i])[0]
+        _log(f"mode {i}: NLML cpu {n_cpu:.3f} tpu {n_tpu:.3f}")
 
     print(
         json.dumps(
             {
-                "metric": "euler_core_r6_m200_mp400_grid81x20_ens1000_wallclock",
+                "metric": "euler_pipeline_fit100x6_r6_m200_mp400_grid81x20_"
+                          "ens1000_wallclock",
                 "value": round(tpu_s, 4),
                 "unit": "s",
                 "vs_baseline": round(cpu_s / tpu_s, 2),

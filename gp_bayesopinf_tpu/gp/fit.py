@@ -21,7 +21,7 @@ log-uniform inside the bounds.
 """
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +106,20 @@ def _screen_all(T, Y, box, keys, n_restarts, adam_steps, adam_lr):
     return jax.vmap(one_mode)(T, Y, keys)
 
 
+@jax.jit
+def _rank_full(T, Y, box, Z):
+    """Evaluate the FULL-data NLML for every screened candidate — one
+    batched Cholesky per (mode, restart) instance, so re-ranking costs one
+    screening step regardless of the subsample used during descent."""
+
+    def one_mode(t_i, y_i, z_i):
+        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
+        return jax.vmap(fun)(z_i)
+
+    v = jax.vmap(one_mode)(T, Y, Z)
+    return jnp.where(jnp.isfinite(v), v, jnp.inf)
+
+
 @partial(jax.jit, static_argnames=("polish_iters",))
 def _polish_all(T, Y, box, z_best, polish_iters):
     """Phase 2: L-BFGS polish from each mode's screening winner."""
@@ -138,6 +152,7 @@ def fit_gp_hyperparameters(
     adam_lr: float = 0.08,
     polish_iters: int = 30,
     fit_dtype=None,
+    screen_points: Optional[int] = 96,
 ) -> FitResult:
     """Fit RBF+white GP hyperparameters for every row of Y at once.
 
@@ -163,6 +178,14 @@ def fit_gp_hyperparameters(
     adam_steps, adam_lr : screening descent budget.
     polish_iters : L-BFGS iterations from each mode's screening winner.
     fit_dtype : optimization dtype (see ``default_fit_dtype``).
+    screen_points : optional int
+        When the training set is larger than this, the Adam screening
+        descends on an evenly-strided subset of this many points — the
+        per-step Cholesky is O(m^3), so screening at 96 of 200 points is
+        ~9x cheaper. Basin SELECTION stays exact: every candidate is then
+        re-ranked by its full-data NLML (one batched Cholesky,
+        ``_rank_full``) before the full-data L-BFGS polish. None disables
+        subsampling.
 
     Returns
     -------
@@ -182,7 +205,22 @@ def fit_gp_hyperparameters(
 
     # Phase 1 — screening on the accelerator: one batched population, the
     # per-step cost amortizes across all (mode, restart) instances.
-    z_scr, v_scr = _screen_all(Ts, Ys, box_s, keys, n_restarts, adam_steps, adam_lr)
+    m = Ts.shape[-1]
+    subsampled = screen_points is not None and m > screen_points
+    if subsampled:
+        # Evenly strided through the (sorted) sample times, endpoints kept.
+        idx = jnp.asarray(
+            np.unique(np.linspace(0, m - 1, screen_points).round().astype(int))
+        )
+        T_scr, Y_scr = Ts[:, idx], Ys[:, idx]
+    else:
+        T_scr, Y_scr = Ts, Ys
+    z_scr, v_scr = _screen_all(
+        T_scr, Y_scr, box_s, keys, n_restarts, adam_steps, adam_lr
+    )
+    if subsampled:
+        # Re-rank every candidate by the FULL-data NLML.
+        v_scr = _rank_full(Ts, Ys, box_s, z_scr)
     best = np.asarray(jnp.argmin(v_scr, axis=1))  # host-side winner select
     z_best = z_scr[jnp.arange(r), best]
     v_best = v_scr[jnp.arange(r), best]

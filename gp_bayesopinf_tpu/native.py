@@ -53,6 +53,15 @@ def _load() -> Optional[ctypes.CDLL]:
         _c_double_p, ctypes.c_int64, _c_double_p, _c_double_p,
         ctypes.c_int64, ctypes.c_int64, _c_double_p,
     ]
+    lib.gpboi_nlml_grad.restype = ctypes.c_double
+    lib.gpboi_nlml_grad.argtypes = [
+        _c_double_p, ctypes.c_int64, _c_double_p, _c_double_p, _c_double_p,
+    ]
+    lib.gpboi_fit_gp.restype = ctypes.c_double
+    lib.gpboi_fit_gp.argtypes = [
+        _c_double_p, ctypes.c_int64, _c_double_p, _c_double_p, _c_double_p,
+        ctypes.c_int64, ctypes.c_uint64, _c_double_p,
+    ]
     _LIB = lib
     return lib
 
@@ -115,6 +124,39 @@ def seird2_solve(params, q0, t_eval, substeps: int = 8) -> np.ndarray:
     out = np.empty((5, t.size))
     lib.gpboi_seird2_solve(_ptr(p), _ptr(q0), _ptr(t), t.size, substeps, _ptr(out))
     return out
+
+
+def nlml_grad(t, y, sigma2, ell, chi):
+    """Exact NLML and analytic gradient in log-hyperparameter space."""
+    lib = _load()
+    t, y = _c64(t), _c64(y)
+    z = np.log(np.array([sigma2, ell, chi], dtype=np.float64))
+    grad = np.empty(3)
+    val = lib.gpboi_nlml_grad(_ptr(t), t.size, _ptr(y), _ptr(z), _ptr(grad))
+    return float(val), grad
+
+
+def fit_gp(t, y, constant_bounds, length_scale_bounds, noise_level_bounds,
+           n_restarts: int = 50, seed: int = 0):
+    """Independent multi-restart GP hyperparameter fit (native projected
+    L-BFGS on the exact NLML) — the framework's second fitting backend,
+    filling the role of the reference fork's gpytorch/Adam fitter
+    (``codebase/gpkernels.py:56-178``, compared in ``ODEs/main.py:89-182``).
+
+    Returns
+    -------
+    ((sigma2, ell, chi), nlml)
+    """
+    lib = _load()
+    t, y = _c64(t), _c64(y)
+    lo = _c64([constant_bounds[0], length_scale_bounds[0], noise_level_bounds[0]])
+    hi = _c64([constant_bounds[1], length_scale_bounds[1], noise_level_bounds[1]])
+    params = np.empty(3)
+    val = lib.gpboi_fit_gp(
+        _ptr(t), t.size, _ptr(y), _ptr(lo), _ptr(hi),
+        int(n_restarts), int(seed) & 0xFFFFFFFFFFFFFFFF, _ptr(params),
+    )
+    return (float(params[0]), float(params[1]), float(params[2])), float(val)
 
 
 def rom_cah_solve(Ohat, q0, t_eval, substeps: int = 8) -> np.ndarray:

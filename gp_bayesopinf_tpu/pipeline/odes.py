@@ -12,9 +12,14 @@ Stages (reference ``ODEs/main.py:17-232``):
 
 The reference's fork also runs a second, independent GP backend and
 prints numerical comparisons (``ODEs/main.py:131-182``); the analogue
-here is ``crosscheck=True``, which recomputes the GP estimation products
-with NumPy/SciPy (LAPACK) at the fitted hyperparameters and reports the
-max deviations.
+here is ``crosscheck=True``, which (a) recomputes the GP estimation
+products with NumPy/SciPy (LAPACK) at the fitted hyperparameters and
+reports the max deviations, and (b) re-FITS every GP with the
+independent native C++ backend (projected L-BFGS on the exact NLML,
+``native/gpboi_native.cpp``), rebuilds the parameter posterior through a
+NumPy/SciPy route, and compares the resulting posterior means/stds with
+``np.allclose(rtol=1e-1)`` — the fork's sklearn-vs-gpytorch posterior
+comparison, able to catch a wrong optimum in ``gp/fit.py``.
 """
 
 import dataclasses
@@ -189,6 +194,17 @@ def run_seird(
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianODE(model, posterior, res.regularizer)
 
+    # Dual-backend posterior comparison: independent native fit ->
+    # NumPy/SciPy estimation + regression -> posterior, compared like the
+    # reference fork compares its sklearn and gpytorch posteriors.
+    if crosscheck:
+        with TimedBlock("second-backend (native) posterior crosscheck\n"):
+            mean2, cov2, hypers2 = _second_backend_posterior(
+                gps, t_est, gp_regularizer, res.regularizer, config
+            )
+            xcheck.update(_compare_posteriors(bayesian_model, mean2, cov2,
+                                              verbose=verbose))
+
     # Step 4 — posterior ensembles.
     with TimedBlock("sampling posterior distribution"):
         shift = jnp.mean(state_est, axis=1)
@@ -228,39 +244,44 @@ def run_seird(
     )
 
 
-def _crosscheck(gps, t_est, eta) -> Dict[str, float]:
-    """Recompute estimation products with NumPy/SciPy (LAPACK) at the same
-    hyperparameters and report max deviations — the independent-backend
-    check the reference fork performs (``ODEs/main.py:131-182``)."""
+def _estimates_np(t, y, te, s2, ell, chi, eta):
+    """NumPy/SciPy (LAPACK) GP estimation products: state, ddt, sqrtW."""
     import scipy.linalg as la
 
+    ell2 = ell * ell
+
+    def kap(a, b):
+        d = a[:, None] - b[None, :]
+        return s2 * np.exp(-(d * d) / (2 * ell2))
+
+    Kyy = kap(t, t) + chi * np.eye(t.size)
+    kzy = kap(te, t)
+    Kzy = -(te[:, None] - t[None, :]) * kzy / ell2
+    dzz = te[:, None] - te[None, :]
+    Kzz = (1 - dzz * dzz / ell2) * kap(te, te) / ell2
+
+    cho = la.cho_factor(Kyy)
+    alpha = la.cho_solve(cho, y)
+    state = kzy @ alpha
+    ddt = Kzy @ alpha
+    cross = Kzy @ la.cho_solve(cho, Kzy.T)
+    C = Kzz - 0.5 * (cross + cross.T)
+    w, V = la.eigh(C + eta * np.eye(te.size))
+    sqrtW = (V / np.sqrt(w)) @ V.T
+    return state, ddt, sqrtW
+
+
+def _crosscheck(gps, t_est, eta) -> Dict[str, float]:
+    """Recompute estimation products with NumPy/SciPy (LAPACK) at the same
+    hyperparameters and report max deviations — the exact-parity half of
+    the reference fork's dual-backend check (``ODEs/main.py:131-182``)."""
     worst = {"state_estimate": 0.0, "ddt_estimate": 0.0, "sqrtW": 0.0}
+    te = np.asarray(t_est)
     for gp in gps:
-        t = np.asarray(gp.t_training)
-        y = np.asarray(gp.y)
-        te = np.asarray(t_est)
-        s2, ell, chi = gp.constant, gp.length_scale, gp.noise_level
-        ell2 = ell * ell
-
-        def kap(a, b):
-            d = a[:, None] - b[None, :]
-            return s2 * np.exp(-(d * d) / (2 * ell2))
-
-        Kyy = kap(t, t) + chi * np.eye(t.size)
-        kzy = kap(te, t)
-        Kzy = -(te[:, None] - t[None, :]) * kzy / ell2
-        dzz = te[:, None] - te[None, :]
-        Kzz = (1 - dzz * dzz / ell2) * kap(te, te) / ell2
-
-        cho = la.cho_factor(Kyy)
-        alpha = la.cho_solve(cho, y)
-        state = kzy @ alpha
-        ddt = Kzy @ alpha
-        cross = Kzy @ la.cho_solve(cho, Kzy.T)
-        C = Kzz - 0.5 * (cross + cross.T)
-        w, V = la.eigh(C + eta * np.eye(te.size))
-        sqrtW = (V / np.sqrt(w)) @ V.T
-
+        state, ddt, sqrtW = _estimates_np(
+            np.asarray(gp.t_training), np.asarray(gp.y), te,
+            gp.constant, gp.length_scale, gp.noise_level, eta,
+        )
         worst["state_estimate"] = max(
             worst["state_estimate"],
             float(np.max(np.abs(np.asarray(gp.state_estimate) - state))),
@@ -278,3 +299,109 @@ def _crosscheck(gps, t_est, eta) -> Dict[str, float]:
     for k, v in worst.items():
         print(f"  {k}: {v:.3e}")
     return worst
+
+
+def _second_backend_posterior(gps, t_est, eta, lam, config, n_restarts=25):
+    """Independently re-fit every GP and rebuild the parameter posterior.
+
+    The second backend is the native C++ core (projected L-BFGS on the
+    exact NLML, ``native.fit_gp``; scipy L-BFGS-B fallback when the shared
+    library is absent). Estimation and the blockwise-weighted regression
+    are then re-derived entirely in NumPy/SciPy, so NOTHING of the JAX
+    fitting path is reused — a fitting bug in ``gp/fit.py`` shows up as a
+    posterior mismatch, exactly like the reference fork's sklearn-vs-
+    gpytorch comparison (``ODEs/main.py:89-182``).
+
+    Returns (mean (4,), cov (4, 4), hyperparameters (5, 3)).
+    """
+    from .. import native as native_mod
+
+    b = config.gp_bounds
+    te = np.asarray(t_est)
+    states, ddts, sqrtWs, hypers = [], [], [], []
+    for i, gp in enumerate(gps):
+        t = np.asarray(gp.t_training)
+        y = np.asarray(gp.y)
+        if native_mod.available():
+            (s2, ell, chi), _ = native_mod.fit_gp(
+                t, y, b.constant, b.length_scale, b.noise_level,
+                n_restarts=n_restarts, seed=1000 + i,
+            )
+        else:  # scipy L-BFGS-B over the same exact NLML
+            import scipy.optimize
+
+            lo = np.log([b.constant[0], b.length_scale[0], b.noise_level[0]])
+            hi = np.log([b.constant[1], b.length_scale[1], b.noise_level[1]])
+            rng = np.random.default_rng(1000 + i)
+
+            def nlml_np(z):
+                s2_, ell_, chi_ = np.exp(z)
+                d = t[:, None] - t[None, :]
+                K = s2_ * np.exp(-(d * d) / (2 * ell_ * ell_)) + chi_ * np.eye(t.size)
+                try:
+                    L = np.linalg.cholesky(K)
+                except np.linalg.LinAlgError:
+                    return 1e30
+                a = np.linalg.solve(L.T, np.linalg.solve(L, y))
+                return float(
+                    0.5 * y @ a + np.sum(np.log(np.diag(L)))
+                    + 0.5 * t.size * np.log(2 * np.pi)
+                )
+
+            best = (np.inf, np.zeros(3))
+            starts = [np.clip(np.zeros(3), lo, hi)]
+            starts += list(rng.uniform(lo, hi, (n_restarts, 3)))
+            for z0 in starts:
+                r_ = scipy.optimize.minimize(
+                    nlml_np, z0, method="L-BFGS-B", bounds=list(zip(lo, hi))
+                )
+                if r_.fun < best[0]:
+                    best = (r_.fun, r_.x)
+            s2, ell, chi = np.exp(best[1])
+        hypers.append((s2, ell, chi))
+        state, ddt, sqrtW = _estimates_np(t, y, te, s2, ell, chi, eta)
+        states.append(state)
+        ddts.append(ddt)
+        sqrtWs.append(sqrtW)
+
+    D_blocks = np.asarray(SEIRD2.data_matrix_blocks(np.stack(states)))
+    d = D_blocks.shape[-1]
+    Dt = np.vstack([sqrtWs[k] @ D_blocks[k] for k in range(len(gps))])
+    zt = np.concatenate([sqrtWs[k] @ ddts[k] for k in range(len(gps))])
+    A = np.vstack([Dt, lam * np.eye(d)])
+    rhs_aug = np.concatenate([zt, np.zeros(d)])
+    mean = np.linalg.lstsq(A, rhs_aug, rcond=None)[0]
+    precision = Dt.T @ Dt + lam * lam * np.eye(d)
+    cov = np.linalg.inv(precision)
+    return mean, cov, np.asarray(hypers)
+
+
+def _compare_posteriors(bayesian_model, mean2, cov2, verbose=True):
+    """Print/return the reference fork's posterior comparison statistics
+    (abs/rel diffs, Frobenius norm, ``np.allclose(rtol=1e-1)``;
+    ``ODEs/main.py:131-182``)."""
+    mean1 = np.asarray(bayesian_model.mean, dtype=np.float64)
+    cov1 = np.asarray(bayesian_model.cov, dtype=np.float64)
+    std1 = np.sqrt(np.diag(cov1))
+    std2 = np.sqrt(np.diag(cov2))
+    stats = {
+        "posterior_mean_absdiff": float(np.max(np.abs(mean1 - mean2))),
+        "posterior_mean_reldiff": float(
+            np.max(np.abs(mean1 - mean2) / np.maximum(np.abs(mean2), 1e-300))
+        ),
+        "posterior_std_reldiff": float(
+            np.max(np.abs(std1 - std2) / np.maximum(std2, 1e-300))
+        ),
+        "posterior_cov_frob": float(np.linalg.norm(cov1 - cov2)),
+        "posterior_mean_allclose": bool(np.allclose(mean1, mean2, rtol=1e-1)),
+        "posterior_std_allclose": bool(np.allclose(std1, std2, rtol=1e-1)),
+    }
+    if verbose:
+        print("Dual-backend posterior comparison (JAX fit vs native fit):")
+        print(f"  means JAX:    {mean1}")
+        print(f"  means native: {mean2}")
+        print(f"  stds  JAX:    {std1}")
+        print(f"  stds  native: {std2}")
+        for k, v in stats.items():
+            print(f"  {k}: {v}")
+    return stats

@@ -115,9 +115,231 @@ void jacobi_eigh(const double* A_in, int64_t n, double* evals, double* V) {
     }
 }
 
+// xorshift64* PRNG — deterministic restart sampling without libc rand.
+struct XorShift64 {
+    uint64_t s;
+    explicit XorShift64(uint64_t seed) : s(seed ? seed : 0x9E3779B97F4A7C15ull) {}
+    double uniform() {  // in [0, 1)
+        s ^= s >> 12;
+        s ^= s << 25;
+        s ^= s >> 27;
+        return double((s * 0x2545F4914F6CDD1Dull) >> 11) * 0x1.0p-53;
+    }
+};
+
+// NLML and its analytic gradient in log-hyperparameter space.
+// z = (log sigma2, log ell, log chi). O(m^3) via Cholesky + full inverse.
+// Returns +1e30 (gradient zeroed) when K is not positive definite.
+double nlml_grad_impl(const double* t, int64_t m, const double* y,
+                      const double* z, double* grad) {
+    const double sigma2 = std::exp(z[0]);
+    const double ell = std::exp(z[1]);
+    const double chi = std::exp(z[2]);
+    const double inv2l2 = 1.0 / (2.0 * ell * ell);
+    const double invl2 = 1.0 / (ell * ell);
+
+    std::vector<double> Krbf(m * m), K(m * m), d2(m * m);
+    for (int64_t i = 0; i < m; ++i)
+        for (int64_t j = 0; j < m; ++j) {
+            const double d = t[i] - t[j];
+            d2[i * m + j] = d * d;
+            const double k = sigma2 * std::exp(-d * d * inv2l2);
+            Krbf[i * m + j] = k;
+            K[i * m + j] = k + (i == j ? chi : 0.0);
+        }
+    if (cholesky(K.data(), m)) {
+        grad[0] = grad[1] = grad[2] = 0.0;
+        return 1e30;
+    }
+    // alpha = K^{-1} y.
+    std::vector<double> alpha(y, y + m);
+    cho_solve_vec(K.data(), m, alpha.data());
+    // Kinv column by column (K holds L).
+    std::vector<double> Kinv(m * m), col(m);
+    for (int64_t c = 0; c < m; ++c) {
+        for (int64_t j = 0; j < m; ++j) col[j] = (j == c) ? 1.0 : 0.0;
+        cho_solve_vec(K.data(), m, col.data());
+        for (int64_t j = 0; j < m; ++j) Kinv[j * m + c] = col[j];
+    }
+    double logdet = 0.0, quad = 0.0;
+    for (int64_t i = 0; i < m; ++i) {
+        logdet += 2.0 * std::log(K[i * m + i]);
+        quad += y[i] * alpha[i];
+    }
+    const double val =
+        0.5 * quad + 0.5 * logdet + 0.5 * double(m) * std::log(2.0 * M_PI);
+
+    // P = Kinv - alpha alpha^T;  dNLML/dz_k = 0.5 sum(P .* dK/dz_k).
+    double gs = 0.0, gl = 0.0, gc = 0.0;
+    for (int64_t i = 0; i < m; ++i)
+        for (int64_t j = 0; j < m; ++j) {
+            const double P = Kinv[i * m + j] - alpha[i] * alpha[j];
+            gs += P * Krbf[i * m + j];
+            gl += P * Krbf[i * m + j] * d2[i * m + j] * invl2;
+            if (i == j) gc += P;
+        }
+    grad[0] = 0.5 * gs;
+    grad[1] = 0.5 * gl;
+    grad[2] = 0.5 * chi * gc;
+    return val;
+}
+
+// Projected L-BFGS (two-loop recursion, history 8, Armijo backtracking,
+// box projection) minimizing the NLML over log-hyperparameters in
+// [lo, hi]. Returns the final NLML; z holds the minimizer.
+double lbfgs_box_min(const double* t, int64_t m, const double* y,
+                     const double* lo, const double* hi, double* z) {
+    constexpr int N = 3, HIST = 8, MAXIT = 200;
+    auto project = [&](double* v) {
+        for (int i = 0; i < N; ++i) {
+            if (v[i] < lo[i]) v[i] = lo[i];
+            if (v[i] > hi[i]) v[i] = hi[i];
+        }
+    };
+    project(z);
+    double g[N];
+    double f = nlml_grad_impl(t, m, y, z, g);
+
+    double S[HIST][N], Yv[HIST][N], rho[HIST];
+    int nh = 0, head = 0;
+
+    for (int it = 0; it < MAXIT; ++it) {
+        // Projected-gradient convergence test.
+        double pg = 0.0;
+        for (int i = 0; i < N; ++i) {
+            double zi = z[i] - g[i];
+            if (zi < lo[i]) zi = lo[i];
+            if (zi > hi[i]) zi = hi[i];
+            pg = std::max(pg, std::fabs(zi - z[i]));
+        }
+        if (pg < 1e-9 * std::max(1.0, std::fabs(f))) break;
+
+        // Two-loop recursion for the quasi-Newton direction.
+        double q[N] = {g[0], g[1], g[2]}, a[HIST];
+        for (int k = nh - 1; k >= 0; --k) {
+            const int idx = (head - nh + k + 2 * HIST) % HIST;
+            double sq = 0.0;
+            for (int i = 0; i < N; ++i) sq += S[idx][i] * q[i];
+            a[k] = rho[idx] * sq;
+            for (int i = 0; i < N; ++i) q[i] -= a[k] * Yv[idx][i];
+        }
+        if (nh > 0) {
+            const int last = (head - 1 + HIST) % HIST;
+            double yy = 0.0, sy = 0.0;
+            for (int i = 0; i < N; ++i) {
+                yy += Yv[last][i] * Yv[last][i];
+                sy += S[last][i] * Yv[last][i];
+            }
+            const double gamma = (yy > 0.0) ? sy / yy : 1.0;
+            for (int i = 0; i < N; ++i) q[i] *= gamma;
+        }
+        for (int k = 0; k < nh; ++k) {
+            const int idx = (head - nh + k + 2 * HIST) % HIST;
+            double yq = 0.0;
+            for (int i = 0; i < N; ++i) yq += Yv[idx][i] * q[i];
+            const double b = rho[idx] * yq;
+            for (int i = 0; i < N; ++i) q[i] += S[idx][i] * (a[k] - b);
+        }
+        double dir[N];
+        double gd = 0.0;
+        for (int i = 0; i < N; ++i) {
+            dir[i] = -q[i];
+            gd += g[i] * dir[i];
+        }
+        if (!(gd < 0.0)) {  // not a descent direction — steepest descent
+            gd = 0.0;
+            for (int i = 0; i < N; ++i) {
+                dir[i] = -g[i];
+                gd -= g[i] * g[i];
+            }
+            if (gd == 0.0) break;
+        }
+
+        // Armijo backtracking with projection.
+        double step = 1.0, z_new[N], g_new[N], f_new = f;
+        bool ok = false;
+        for (int ls = 0; ls < 30; ++ls) {
+            for (int i = 0; i < N; ++i) z_new[i] = z[i] + step * dir[i];
+            project(z_new);
+            f_new = nlml_grad_impl(t, m, y, z_new, g_new);
+            double desc = 0.0;
+            for (int i = 0; i < N; ++i) desc += g[i] * (z_new[i] - z[i]);
+            if (f_new <= f + 1e-4 * desc && std::isfinite(f_new)) {
+                ok = true;
+                break;
+            }
+            step *= 0.5;
+        }
+        if (!ok) break;
+
+        // Curvature update.
+        double s_vec[N], y_vec[N], sy = 0.0;
+        for (int i = 0; i < N; ++i) {
+            s_vec[i] = z_new[i] - z[i];
+            y_vec[i] = g_new[i] - g[i];
+            sy += s_vec[i] * y_vec[i];
+        }
+        if (sy > 1e-12) {
+            for (int i = 0; i < N; ++i) {
+                S[head][i] = s_vec[i];
+                Yv[head][i] = y_vec[i];
+            }
+            rho[head] = 1.0 / sy;
+            head = (head + 1) % HIST;
+            if (nh < HIST) ++nh;
+        }
+        for (int i = 0; i < N; ++i) {
+            z[i] = z_new[i];
+            g[i] = g_new[i];
+        }
+        f = f_new;
+    }
+    return f;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Exact NLML + analytic gradient in log-hyperparameter space.
+double gpboi_nlml_grad(const double* t, int64_t m, const double* y,
+                       const double* logparams, double* grad_out) {
+    return nlml_grad_impl(t, m, y, logparams, grad_out);
+}
+
+// Independent GP hyperparameter fit: 1 + n_restarts projected-L-BFGS runs
+// on the exact NLML (restart 0 from the kernel default (1,1,1) projected
+// into bounds, the rest log-uniform — the sklearn schedule the reference
+// uses, codebase/gpkernels.py:302-308). Bounds are in natural units;
+// returns the best NLML; best_params holds (sigma2, ell, chi).
+double gpboi_fit_gp(const double* t, int64_t m, const double* y,
+                    const double* lo_nat, const double* hi_nat,
+                    int64_t n_restarts, uint64_t seed, double* best_params) {
+    double lo[3], hi[3];
+    for (int i = 0; i < 3; ++i) {
+        lo[i] = std::log(lo_nat[i]);
+        hi[i] = std::log(hi_nat[i]);
+    }
+    XorShift64 rng(seed);
+    double best_f = 1e300, best_z[3] = {0, 0, 0};
+    for (int64_t rst = 0; rst <= n_restarts; ++rst) {
+        double z[3];
+        if (rst == 0) {
+            for (int i = 0; i < 3; ++i)
+                z[i] = std::min(std::max(0.0, lo[i]), hi[i]);
+        } else {
+            for (int i = 0; i < 3; ++i)
+                z[i] = lo[i] + (hi[i] - lo[i]) * rng.uniform();
+        }
+        const double f = lbfgs_box_min(t, m, y, lo, hi, z);
+        if (f < best_f) {
+            best_f = f;
+            for (int i = 0; i < 3; ++i) best_z[i] = z[i];
+        }
+    }
+    for (int i = 0; i < 3; ++i) best_params[i] = std::exp(best_z[i]);
+    return best_f;
+}
 
 // Fused assembly of K_yy (m x m), kappa_zy (mp x m), K_zy (mp x m),
 // K_zz (mp x mp) for the RBF+white kernel.

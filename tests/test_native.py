@@ -69,6 +69,59 @@ def test_native_seird2_solve():
     assert np.abs(got - expect).max() < 1e-7
 
 
+def test_native_nlml_grad_matches_oracle(rng):
+    """Native NLML value vs the SciPy oracle; gradient vs finite diffs."""
+    t = np.sort(rng.uniform(0, 1, 40))
+    y = np.sin(5 * t) + 0.05 * rng.standard_normal(40)
+    v, g = native.nlml_grad(t, y, S2, ELL, CHI)
+    expect = ref.gp_nlml(t, y, S2, ELL, CHI)
+    assert abs(v - expect) < 1e-10 * max(1.0, abs(expect))
+    z0 = np.log([S2, ELL, CHI])
+    # Central differences carry ~eps_machine*|f|/eps cancellation noise
+    # (|f| ~ 2e3 here), so the step and tolerance are sized accordingly.
+    eps = 1e-5
+    for k in range(3):
+        zp, zm = z0.copy(), z0.copy()
+        zp[k] += eps
+        zm[k] -= eps
+        fd = (
+            native.nlml_grad(t, y, *np.exp(zp))[0]
+            - native.nlml_grad(t, y, *np.exp(zm))[0]
+        ) / (2 * eps)
+        assert abs(g[k] - fd) < 1e-3 * max(1.0, abs(fd))
+
+
+def test_native_fit_gp_matches_scipy_lbfgsb(rng):
+    """The native projected-L-BFGS multi-restart fitter finds optima at
+    least as good as scipy L-BFGS-B restarts over the same NLML — the
+    independent second fitting backend (reference fork capability,
+    ``ODEs/main.py:89-182``)."""
+    import scipy.optimize
+
+    m = 60
+    t = np.sort(rng.uniform(0, 1, m))
+    dd = t[:, None] - t[None, :]
+    K = 1.5 * np.exp(-dd * dd / (2 * 0.12**2)) + 0.02 * np.eye(m)
+    y = np.linalg.cholesky(K) @ rng.standard_normal(m)
+
+    bounds = ((1e-5, 1e5), (1e-5, 1e2), (1e-16, 1e2))
+    (params, v_native) = native.fit_gp(t, y, *bounds, n_restarts=15, seed=5)
+    assert all(np.isfinite(params)) and np.isfinite(v_native)
+
+    lo = np.log([b[0] for b in bounds])
+    hi = np.log([b[1] for b in bounds])
+    best = np.inf
+    for z0 in [np.clip(np.zeros(3), lo, hi)] + list(
+        rng.uniform(lo, hi, (15, 3))
+    ):
+        r_ = scipy.optimize.minimize(
+            lambda z: native.nlml_grad(t, y, *np.exp(z)),
+            z0, jac=True, method="L-BFGS-B", bounds=list(zip(lo, hi)),
+        )
+        best = min(best, r_.fun)
+    assert v_native <= best + 0.5
+
+
 def test_native_rom_solve_matches_jax(rng):
     from gp_bayesopinf_tpu.rom import GalerkinROM
 

@@ -35,6 +35,13 @@ def test_seird_pipeline_end_to_end():
     assert res.crosscheck["state_estimate"] < 1e-6
     assert res.crosscheck["ddt_estimate"] < 1e-5
     assert res.crosscheck["sqrtW"] < 1e-5  # relative to matrix scale
+    # Dual-backend POSTERIOR comparison: GPs independently re-fitted with
+    # the native C++ backend, posterior rebuilt in NumPy/SciPy; means and
+    # stds must agree to the reference's own tolerance
+    # (np.allclose(rtol=1e-1), ``ODEs/main.py:131-182``). Fails if
+    # gp/fit.py converges to wrong optima.
+    assert res.crosscheck["posterior_mean_allclose"]
+    assert res.crosscheck["posterior_std_allclose"]
     # New-IC generalization ensemble exists and is mostly finite.
     assert res.newic_draws.shape[0] == 40
 
