@@ -18,6 +18,7 @@ host, numerics on device — preserving the reference's search semantics
 exactly).
 """
 
+import logging as _logging
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -310,6 +311,7 @@ def auto_regularize(
             bounds = [float(grid[-2]), best_reg * 100.0]
         else:
             bounds = [float(grid[ibest - 1]), float(grid[ibest + 1])]
+        _logging.info(f"Best regularization via gridsearch: {best_reg:.4e}")
         if verbose:
             print(f"Best regularization via gridsearch: {best_reg:.4e}")
 
@@ -324,10 +326,12 @@ def auto_regularize(
     )
     if opt.success and opt.fun < MAXOPTVAL:
         chosen, refined = float(10.0**opt.x), True
+        _logging.info(f"Best regularization via optimization: {chosen:.4e}")
         if verbose:
             print(f"Best regularization via optimization: {chosen:.4e}")
     else:
         chosen, refined = best_reg, False
+        _logging.info("Regularization optimization failed; using grid best")
         if verbose:
             print("Optimization failed, falling back on gridsearch")
 

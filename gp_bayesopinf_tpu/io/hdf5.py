@@ -123,23 +123,35 @@ def _export_euler(r, prefix, overwrite):
     # Reduced-space data (reference *_data-reduced.h5).
     path = f"{prefix}_data-reduced.h5"
     _check_overwrite(path, overwrite)
+    truth_compressed = np.asarray(r.basis.compress(r.true_states))
     with h5py.File(path, "w") as hf:
         hf.create_dataset("sampling_time_domain", data=r.time_domain_sampled)
         hf.create_dataset("training_time_domain", data=r.t_estimation)
         hf.create_dataset("prediction_time_domain", data=r.time_domain)
         hf.create_dataset("snapshots_compressed", data=r.snapshots_compressed)
+        hf.create_dataset("true_states_compressed", data=truth_compressed)
         hf.create_dataset("draws_compressed", data=r.draws_compressed)
         hf.create_dataset("draws_valid", data=r.valid)
         _write_gp_moments(hf, r.gps, r.t_estimation)
 
-    # Full-space data (reference *_data-full.h5).
+    # Full-space data (reference *_data-full.h5, incl. the projected truth
+    # used by the closeup figure, ``PDEs/plots_paper.py:889-963``).
     path = f"{prefix}_data-full.h5"
     _check_overwrite(path, overwrite)
     with h5py.File(path, "w") as hf:
         hf.create_dataset("sampling_time_domain", data=r.time_domain_sampled)
+        hf.create_dataset("training_time_domain", data=r.t_estimation)
         hf.create_dataset("prediction_time_domain", data=r.time_domain)
         hf.create_dataset("snapshots", data=r.snapshots_sampled)
         hf.create_dataset("true_states", data=r.true_states)
+        hf.create_dataset(
+            "true_states_projected",
+            data=np.asarray(r.basis.decompress(truth_compressed)),
+        )
+        hf.create_dataset(
+            "spatial_domain", data=np.asarray(r.model.spatial_domain)
+        )
+        hf.attrs["num_variables"] = r.model.num_variables
         if r.draws is not None:
             hf.create_dataset("draws", data=r.draws)
     if r.svdvals is not None:
@@ -153,13 +165,36 @@ def _export_euler(r, prefix, overwrite):
     save_bayesian_rom(r.bayesian_model, f"{prefix}_posterior.h5", overwrite)
 
 
-def _export_heat_multi(r, prefix, overwrite):
+def _export_heat_multi(r, prefix, overwrite, numspatialpoints: int = 8):
     path = f"{prefix}_data.h5"
     _check_overwrite(path, overwrite)
+
+    # Full-state draws are kept at ``numspatialpoints`` spatial rows only
+    # (the reference's multi StatePlotter spatially subsamples the same
+    # way, ``PDEsMulti/step4_plot.py:294-333``).
+    def _decompress_rows(draws, rows):
+        return np.stack(
+            [np.asarray(r.basis.decompress(d))[rows] for d in draws]
+        ) if len(draws) else np.zeros((0, len(rows), len(r.time_domain)))
+
+    n_full = r.true_states[0].shape[0]
+    rows = np.linspace(0, n_full - 1, numspatialpoints).astype(int)
+
     with h5py.File(path, "w") as hf:
         hf.create_dataset("sampling_time_domain", data=r.time_domain_sampled)
         hf.create_dataset("training_time_domain", data=r.t_estimation)
         hf.create_dataset("prediction_time_domain", data=r.time_domain)
+        if r.spatial_domain is not None:
+            hf.create_dataset("spatial_domain", data=np.asarray(r.spatial_domain))
+        hf.create_dataset("spatial_rows", data=rows)
+        if r.input_parameters is not None:
+            hf.create_dataset(
+                "input_parameters", data=np.asarray(r.input_parameters)
+            )
+        if r.test_parameters is not None:
+            hf.create_dataset(
+                "test_parameters", data=np.asarray(r.test_parameters)
+            )
         for ell in range(len(r.snapshots)):
             grp = hf.create_group(f"trajectory_{ell}")
             grp.create_dataset("snapshots", data=r.snapshots[ell])
@@ -167,13 +202,35 @@ def _export_heat_multi(r, prefix, overwrite):
             grp.create_dataset(
                 "snapshots_compressed", data=r.snapshots_compressed[ell]
             )
+            grp.create_dataset(
+                "true_states_compressed",
+                data=np.asarray(r.basis.compress(r.true_states[ell])),
+            )
             grp.create_dataset("draws_compressed", data=r.draws_compressed[ell])
             grp.create_dataset("draws_valid", data=r.valid[ell])
+            grp.create_dataset(
+                "draws_full",
+                data=_decompress_rows(
+                    r.draws_compressed[ell][np.asarray(r.valid[ell], bool)],
+                    rows,
+                ),
+            )
+            _write_gp_moments(grp, r.gps[ell], r.t_estimation)
         if r.newparam_draws is not None:
             grp = hf.create_group("new_trajectory")
             grp.create_dataset("draws_compressed", data=r.newparam_draws)
             grp.create_dataset("draws_valid", data=r.newparam_valid)
             grp.create_dataset("true_states", data=r.newparam_true)
+            grp.create_dataset(
+                "true_states_compressed",
+                data=np.asarray(r.basis.compress(r.newparam_true)),
+            )
+            grp.create_dataset(
+                "draws_full",
+                data=_decompress_rows(
+                    r.newparam_draws[np.asarray(r.newparam_valid, bool)], rows
+                ),
+            )
     save_bayesian_rom(r.bayesian_model, f"{prefix}_posterior.h5", overwrite)
 
 

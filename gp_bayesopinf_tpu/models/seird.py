@@ -72,8 +72,24 @@ class SEIRD2:
         dI = p2 * E - dR - dD
         return jnp.stack([dS, dE, dI, dR, dD])
 
-    def solve(self, initial_conditions, timepoints, parameters=None):
-        """(5, k) trajectory over ``timepoints`` (fixed-step RK4 on device)."""
+    def solve(self, initial_conditions, timepoints, parameters=None,
+              strict=False):
+        """(5, k) trajectory over ``timepoints`` (fixed-step RK4 on device).
+
+        With ``strict=True`` the initial conditions must sum to the
+        population (N for the 6-parameter model, 1 for the normalized
+        reparameterization) — the reference's fail-fast IC validation
+        (``models/ode_models.py:246-279``).
+        """
+        if strict:
+            import numpy as np
+
+            N = self.parameters[0] if self.num_parameters == 6 else 1.0
+            total = float(np.sum(np.asarray(initial_conditions)))
+            if abs(total - N) > 1e-12 * max(1.0, abs(N)):
+                raise ValueError(
+                    f"initial conditions sum to {total}, not {N}"
+                )
         params = (
             jnp.asarray(self.parameters)
             if parameters is None
@@ -92,6 +108,67 @@ class SEIRD2:
         if not noise_level:
             return states
         return _truncnorm_noise(key, states, noise_level)
+
+    # -- visualization ------------------------------------------------------------
+    @classmethod
+    def plot(cls, time_domain, states, ls=".", ax=None):
+        """Overlay all state variables on one axes (reference
+        ``models/ode_models.py:148-171``)."""
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        if ax is None:
+            _, ax = plt.subplots(1, 1, figsize=(12, 6))
+        t = np.asarray(time_domain)
+        for var, label in zip(np.asarray(states), cls.LABELS):
+            ax.plot(t, var, ls, lw=2, label=label)
+        ax.set_xlim(left=t[0])
+        ax.set_xlabel("$t$")
+        ax.set_ylabel("States")
+        ax.legend()
+        return ax.get_figure(), ax
+
+    @classmethod
+    def plot_phase(cls, t, states, variables=(0, 1), fig=None):
+        """Two state trajectories + their phase portrait (reference
+        ``models/ode_models.py:172-239``): stacked time series on the left,
+        phase plot on the right."""
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        states = np.asarray(states)
+        if len(states) != 2:
+            states = np.array([states[variables[0]], states[variables[1]]])
+        if fig is None:
+            fig = plt.figure(constrained_layout=True, figsize=(9, 4))
+            spec = fig.add_gridspec(
+                nrows=2, ncols=2, hspace=0.1, wspace=0.15,
+                width_ratios=[1.5, 1], height_ratios=[1, 1],
+            )
+            fig.add_subplot(spec[0, 0])
+            fig.add_subplot(spec[1, 0])
+            fig.add_subplot(spec[:, 1])
+        axes = fig.axes
+        if len(axes) != 3:
+            raise ValueError("figure should have 3 Axes")
+
+        t = np.asarray(t)
+        axes[0].plot(t, states[0], "C0", lw=1)
+        axes[0].plot([t[0]], [states[0, 0]], "ko")
+        axes[1].plot(t, states[1], "C1", lw=1)
+        axes[1].plot([t[0]], [states[1, 0]], "ko")
+        axes[2].plot(states[0], states[1], "C3", lw=1)
+        axes[2].plot([states[0, 0]], [states[1, 0]], "ko")
+
+        axes[0].set_xticks([])
+        axes[0].set_ylabel(cls.LABELS[variables[0]])
+        axes[1].set_xlabel("$t$")
+        axes[1].set_ylabel(cls.LABELS[variables[1]])
+        fig.align_ylabels([axes[0], axes[1]])
+        axes[2].set_xlabel(cls.LABELS[variables[0]])
+        axes[2].set_ylabel(cls.LABELS[variables[1]])
+        axes[2].set_title("Phase plot")
+        return fig
 
     @staticmethod
     def data_matrix(states: jnp.ndarray) -> jnp.ndarray:

@@ -28,6 +28,14 @@ def _common(sub, modes: bool):
     sub.add_argument(
         "--noopen", action="store_true", help="do not open figures"
     )
+    sub.add_argument(
+        "--profile", metavar="LOGDIR",
+        help="capture a jax profiler trace of the run into LOGDIR",
+    )
+    sub.add_argument(
+        "--nolog", action="store_true",
+        help="skip log.log / figures-folder / report.txt bookkeeping",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -59,6 +67,65 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # Observability tier (reference behavior: every run logs to log.log,
+    # creates a dated figures folder, and writes report.txt —
+    # ``PDEs/config.py:68-85``, ``PDEs/main.py:83-86``, ``*/utils.py``).
+    import contextlib
+    import logging
+
+    folder = None
+    if not args.nolog:
+        from ..utils.logging import setup_logging
+        from .report import figures_path, summarize_experiment
+
+        setup_logging()
+        folder = figures_path()
+        summarize_experiment(
+            training_span=(0.0, args.t_max),
+            num_samples=args.num_samples,
+            noiselevel=args.noiselevel,
+            num_regression_points=args.num_regression_points,
+            numPODmodes=getattr(args, "numPODmodes", None),
+            gp_regularizer=args.gpreg,
+            ndraws=args.ndraws,
+            folder=folder,
+        )
+        logging.info(
+            f"gpboi {args.pipeline} t_max={args.t_max} "
+            f"m={args.num_samples} noise={args.noiselevel} "
+            f"m'={args.num_regression_points} ndraws={args.ndraws}"
+        )
+
+    if args.profile:
+        from ..utils.timing import profile_trace
+
+        profile_ctx = profile_trace(args.profile)
+    else:
+        profile_ctx = contextlib.nullcontext()
+
+    with profile_ctx:
+        result = _run(args)
+
+    if not args.nolog:
+        logging.info(f"chosen regularizer: {result.regularizer:.6e}")
+        if args.pipeline == "seird":
+            from .report import summarize_posterior
+
+            summarize_posterior(
+                result.model.parameters, result.bayesian_model, folder
+            )
+
+    if args.exportto:
+        from ..io.hdf5 import export_result
+
+        export_result(result, args.exportto)
+        print(f"exported artifacts with prefix {args.exportto}")
+        if not args.nolog:
+            logging.info(f"artifacts exported with prefix {args.exportto}")
+    return result
+
+
+def _run(args):
     if args.pipeline == "seird":
         from .odes import run_seird
 
@@ -96,12 +163,6 @@ def main(argv=None):
             gp_regularizer=args.gpreg,
             ndraws=args.ndraws,
         )
-
-    if args.exportto:
-        from ..io.hdf5 import export_result
-
-        export_result(result, args.exportto)
-        print(f"exported artifacts with prefix {args.exportto}")
     return result
 
 

@@ -59,6 +59,9 @@ class HeatMultiResult:
     newparam_draws: Optional[np.ndarray] = None
     newparam_valid: Optional[np.ndarray] = None
     newparam_true: Optional[np.ndarray] = None
+    spatial_domain: Optional[np.ndarray] = None
+    input_parameters: Optional[tuple] = None
+    test_parameters: Optional[tuple] = None
 
 
 def run_heat_multi(
@@ -248,6 +251,9 @@ def run_heat_multi(
         gps=gps,
         draws_compressed=draws_all,
         valid=valid_all,
+        spatial_domain=x,
+        input_parameters=tuple(config.input_parameters),
+        test_parameters=tuple(config.test_parameters),
     )
 
     # Generalization at unseen input parameters (``main.py:247-303``).

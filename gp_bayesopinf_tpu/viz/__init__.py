@@ -3,6 +3,18 @@
 per-pipeline ``step4_plot.py`` semantics)."""
 
 from .baseplots import COLORS, BasePlotter
-from .plotters import ODEPlotter, ReducedPlotter, StatePlotter
+from .plotters import (
+    MultiTrajectoryPlotter,
+    ODEPlotter,
+    ReducedPlotter,
+    StatePlotter,
+)
 
-__all__ = ["COLORS", "BasePlotter", "ODEPlotter", "ReducedPlotter", "StatePlotter"]
+__all__ = [
+    "COLORS",
+    "BasePlotter",
+    "MultiTrajectoryPlotter",
+    "ODEPlotter",
+    "ReducedPlotter",
+    "StatePlotter",
+]

@@ -213,6 +213,183 @@ class ReducedPlotter(BasePlotter):
         return cls(**kw)
 
 
+class MultiTrajectoryPlotter(BasePlotter):
+    """Trajectory-indexed reduced-space plotter for the multi-trajectory
+    pipeline (reference ``PDEsMulti/step4_plot.py:19-217``): every dataset
+    carries a leading trajectory axis, plus an optional unseen-parameter
+    trajectory rendered by :meth:`plot_posterior_newparams`
+    (reference ``step4_plot.py:180-217,447-509``)."""
+
+    def __init__(
+        self,
+        sampling_time_domain,
+        training_time_domain,
+        prediction_time_domain,
+        trajectory_parameters,  # (L, p) training input parameters
+        snapshots_compressed,  # (L, r, m)
+        true_states_compressed,  # (L, r, k)
+        gp_means,  # (L, r, m')
+        gp_stds,  # (L, r, m')
+        draws_compressed,  # (L, ndraws, r, k)
+        test_parameters=None,  # (p,) unseen input parameters
+        newparam_draws=None,  # (ndraws, r, k)
+        newparam_true_compressed=None,  # (r, k)
+    ):
+        super().__init__(
+            sampling_time_domain, training_time_domain, prediction_time_domain
+        )
+        self.trajectory_parameters = np.asarray(trajectory_parameters)
+        self.snapshots_compressed = np.asarray(snapshots_compressed)
+        self.true_states_compressed = np.asarray(true_states_compressed)
+        self.gp_means = np.asarray(gp_means)
+        self.gp_stds = np.asarray(gp_stds)
+        self.draws_compressed = np.asarray(draws_compressed)
+        self.test_parameters = (
+            None if test_parameters is None else np.asarray(test_parameters)
+        )
+        self.newparam_draws = (
+            None if newparam_draws is None else np.asarray(newparam_draws)
+        )
+        self.newparam_true_compressed = (
+            None
+            if newparam_true_compressed is None
+            else np.asarray(newparam_true_compressed)
+        )
+
+    @property
+    def num_trajectories(self) -> int:
+        return self.snapshots_compressed.shape[0]
+
+    @property
+    def num_modes(self) -> int:
+        return self.snapshots_compressed.shape[1]
+
+    def _traj_grid(self, trajectories):
+        import matplotlib.pyplot as plt
+
+        r, L = self.num_modes, len(trajectories)
+        fig, axes = plt.subplots(
+            r, L, figsize=(3.2 * L, 1.6 * r), sharex=True, sharey="row"
+        )
+        return fig, np.atleast_2d(axes).reshape(r, L)
+
+    def plot_gp_training_fit(self, trajectories=None, width: float = 3.0):
+        """Modes x trajectories grid of GP fits (``step4_plot.py`` gpfit
+        layout: truth, observations, GP band per panel)."""
+        trajectories = (
+            list(range(self.num_trajectories))
+            if trajectories is None
+            else list(trajectories)
+        )
+        fig, axes = self._traj_grid(trajectories)
+        for col, ell in enumerate(trajectories):
+            for i in range(self.num_modes):
+                ax = axes[i, col]
+                self.plot_truth(ax, self.true_states_compressed[ell, i])
+                self.plot_data(ax, self.snapshots_compressed[ell, i])
+                self.plot_gp(
+                    ax, self.gp_means[ell, i], self.gp_stds[ell, i], width=width
+                )
+                if i == 0:
+                    params = tuple(self.trajectory_parameters[ell])
+                    ax.set_title(rf"$(a, b) = {params}$", fontsize="small")
+                if col == 0:
+                    ax.set_ylabel(rf"$\hat{{q}}_{{{i + 1}}}(t)$")
+        for ax in axes[-1, :]:
+            ax.set_xlabel("$t$")
+        return fig
+
+    def plot_posterior(self, trajectories=None, spread: bool = True):
+        """Modes x trajectories grid of posterior ensembles."""
+        trajectories = (
+            list(range(self.num_trajectories))
+            if trajectories is None
+            else list(trajectories)
+        )
+        fig, axes = self._traj_grid(trajectories)
+        for col, ell in enumerate(trajectories):
+            draws = self.draws_compressed[ell]
+            for i in range(self.num_modes):
+                ax = axes[i, col]
+                self.plot_truth(ax, self.true_states_compressed[ell, i])
+                self.plot_data(ax, self.snapshots_compressed[ell, i])
+                if spread:
+                    self.plot_percentiles(ax, draws[:, i, :])
+                else:
+                    self.plot_draws(ax, draws[:, i, :])
+                self.plot_samplemean(ax, draws[:, i, :].mean(axis=0))
+                if i == 0:
+                    params = tuple(self.trajectory_parameters[ell])
+                    ax.set_title(rf"$(a, b) = {params}$", fontsize="small")
+                if col == 0:
+                    ax.set_ylabel(rf"$\hat{{q}}_{{{i + 1}}}(t)$")
+        for ax in axes[-1, :]:
+            ax.set_xlabel("$t$")
+        return fig
+
+    def plot_posterior_newparams(self, spread: bool = True):
+        """Posterior ensemble at the UNSEEN input parameters (reference
+        ``PDEsMulti/step4_plot.py:180-217,447-509``)."""
+        import matplotlib.pyplot as plt
+
+        if self.newparam_draws is None:
+            raise ValueError("no new-parameter draws stored")
+        r = self.num_modes
+        fig, axes = plt.subplots(r, 1, figsize=(8, 1.7 * r), sharex=True)
+        axes = np.atleast_1d(axes)
+        draws = self.newparam_draws
+        for i, ax in enumerate(axes):
+            if self.newparam_true_compressed is not None:
+                self.plot_truth(ax, self.newparam_true_compressed[i])
+            if spread:
+                self.plot_percentiles(ax, draws[:, i, :])
+            else:
+                self.plot_draws(ax, draws[:, i, :])
+            self.plot_samplemean(ax, draws[:, i, :].mean(axis=0))
+            ax.set_ylabel(rf"$\hat{{q}}_{{{i + 1}}}(t)$")
+        axes[-1].set_xlabel("$t$")
+        if self.test_parameters is not None:
+            fig.suptitle(rf"$(a, b) = {tuple(self.test_parameters)}$")
+        return fig
+
+    # -- persistence ------------------------------------------------------------
+    _DATASETS = (
+        "sampling_time_domain",
+        "training_time_domain",
+        "prediction_time_domain",
+        "trajectory_parameters",
+        "snapshots_compressed",
+        "true_states_compressed",
+        "gp_means",
+        "gp_stds",
+        "draws_compressed",
+    )
+    _OPTIONAL = (
+        "test_parameters",
+        "newparam_draws",
+        "newparam_true_compressed",
+    )
+
+    def save(self, path, overwrite=True):
+        import os
+
+        if os.path.isfile(path) and not overwrite:
+            raise FileExistsError(path)
+        with h5py.File(path, "w") as hf:
+            for name in self._DATASETS + self._OPTIONAL:
+                value = getattr(self, name)
+                if value is not None:
+                    hf.create_dataset(name, data=value)
+
+    @classmethod
+    def load(cls, path):
+        with h5py.File(path, "r") as hf:
+            kw = {name: hf[name][:] for name in cls._DATASETS}
+            for name in cls._OPTIONAL:
+                kw[name] = hf[name][:] if name in hf else None
+        return cls(**kw)
+
+
 class StatePlotter(BasePlotter):
     """Full-state plotter: posterior at selected spatial points
     (reference ``PDEs/step4_plot.py:187-382``)."""

@@ -61,6 +61,48 @@ def test_cli_parser_surface():
         p.parse_args(["euler", "0.06"])  # missing required args
 
 
+def test_cli_observability_wiring(tmp_path, monkeypatch):
+    """A gpboi run produces log.log + a dated figures folder with
+    report.txt (+ posterior summary for seird) — the reference's
+    per-run bookkeeping (``PDEs/config.py:68-85``, ``PDEs/main.py:83-86``,
+    ``ODEs/utils.py:53-66``)."""
+    import glob
+    import os
+
+    from gp_bayesopinf_tpu.pipeline import cli
+
+    class FakeBM:
+        mean = np.zeros(4)
+        cov = np.eye(4)
+
+    class FakeModel:
+        parameters = (1.0, 2.0, 3.0, 4.0)
+
+    class FakeRes:
+        regularizer = 1e-3
+        model = FakeModel()
+        bayesian_model = FakeBM()
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(cli, "_run", lambda args: FakeRes())
+    cli.main(["seird", "90", "90", "0.1", "360"])
+
+    assert os.path.isfile(tmp_path / "log.log")
+    logtext = (tmp_path / "log.log").read_text()
+    assert "NEW SESSION" in logtext
+    assert "chosen regularizer" in logtext
+    reports = glob.glob(str(tmp_path / "figures" / "*" / "*" / "report.txt"))
+    assert len(reports) == 1
+    text = open(reports[0]).read()
+    assert "EXPERIMENTAL SCENARIO" in text
+    assert "POSTERIOR DISTRIBUTION" in text
+
+    # --nolog skips the bookkeeping entirely.
+    (tmp_path / "log.log").unlink()
+    cli.main(["seird", "90", "90", "0.1", "360", "--nolog"])
+    assert not os.path.isfile(tmp_path / "log.log")
+
+
 def test_workload_grids_match_reference():
     from gp_bayesopinf_tpu.pipeline.experiments import (
         EULER_WORKLOADS,

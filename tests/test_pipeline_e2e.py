@@ -13,7 +13,7 @@ from gp_bayesopinf_tpu.pipeline.configs import EulerConfig, GPBounds, HeatMultiC
 
 
 @pytest.mark.slow
-def test_euler_pipeline_end_to_end():
+def test_euler_pipeline_end_to_end(tmp_path):
     from gp_bayesopinf_tpu.pipeline.pdes import run_euler
 
     cfg = EulerConfig(
@@ -65,9 +65,31 @@ def test_euler_pipeline_end_to_end():
     assert np.all(np.isfinite(dd["ddts_GPstd"]))
     assert np.all(dd["ddts_GPstd"] >= 0)
 
+    # Export the artifacts and regenerate the paper figures from them —
+    # validates the HDF5 schema end to end (reference golden-artifact
+    # contract, SURVEY.md section 4 item 6).
+    from gp_bayesopinf_tpu.io.hdf5 import export_result
+    from gp_bayesopinf_tpu.viz import paper as paperfigs
+
+    prefix = str(tmp_path / "exE")
+    export_result(res, prefix)
+    import matplotlib.pyplot as plt
+
+    for fn in (
+        paperfigs.euler_gpfit_figure,
+        paperfigs.euler_romsolution_figure,
+        paperfigs.euler_fomsolution_figure,
+        paperfigs.euler_fomsolution_closeup_figure,
+        paperfigs.euler_gpfit_and_derivatives_figure,
+        paperfigs.euler_draws_and_iqr_figure,
+    ):
+        figs = fn(prefix)
+        assert figs
+        plt.close("all")
+
 
 @pytest.mark.slow
-def test_heat_multi_pipeline_end_to_end():
+def test_heat_multi_pipeline_end_to_end(tmp_path):
     from gp_bayesopinf_tpu.pipeline.pdes_multi import run_heat_multi
 
     cfg = HeatMultiConfig(
@@ -118,3 +140,18 @@ def test_heat_multi_pipeline_end_to_end():
         res.newparam_true
     )
     assert err < 0.25, f"newparam ensemble error {err:.2%}"
+
+    # Export + regenerate the multi-trajectory paper figures from the
+    # artifacts (schema validation end to end).
+    from gp_bayesopinf_tpu.io.hdf5 import export_result
+    from gp_bayesopinf_tpu.viz import paper as paperfigs
+
+    prefix = str(tmp_path / "ex3")
+    export_result(res, prefix)
+    import matplotlib.pyplot as plt
+
+    figs = paperfigs.heat_paper(
+        prefix="ex3", datadir=str(tmp_path), savedir=None
+    )
+    assert set(figs) == {"samples", "gpfit", "rom", "fom", "newtrajectory"}
+    plt.close("all")
