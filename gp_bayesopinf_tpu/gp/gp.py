@@ -120,26 +120,50 @@ class GaussianProcess:
         return self
 
     # -- persistence ----------------------------------------------------------------
+    _EST_FIELDS = (
+        "t_estimation",
+        "state_estimate",
+        "ddt_estimate",
+        "ddt_covariance",
+        "sqrtW",
+    )
+
     def save(self, path: str):
-        np.savez(
-            path,
+        """Persist the fitted GP INCLUDING its estimation products, so a
+        loaded GP is immediately usable without recomputing
+        ``compute_lstsq_matrices`` — the reference joblib-dumps the whole
+        fitted wrapper the same way (``codebase/gpkernels.py:423-430``)."""
+        payload = dict(
             t_training=np.asarray(self.t_training),
             y=np.asarray(self.y),
             constant=self.constant,
             length_scale=self.length_scale,
             noise_level=self.noise_level,
         )
+        if self.state_estimate is not None:
+            payload["weight_method"] = self.weight_method
+            for name in self._EST_FIELDS:
+                value = getattr(self, name)
+                if value is not None:
+                    payload[name] = np.asarray(value)
+        np.savez(path, **payload)
 
     @staticmethod
     def load(path: str) -> "GaussianProcess":
         with np.load(path) as z:
-            return GaussianProcess(
+            gp = GaussianProcess(
                 jnp.asarray(z["t_training"]),
                 jnp.asarray(z["y"]),
                 float(z["constant"]),
                 float(z["length_scale"]),
                 float(z["noise_level"]),
             )
+            if "state_estimate" in z:
+                gp.weight_method = str(z["weight_method"])
+                for name in GaussianProcess._EST_FIELDS:
+                    if name in z:
+                        setattr(gp, name, jnp.asarray(z[name]))
+        return gp
 
 
 def fit_gaussian_processes(

@@ -77,11 +77,23 @@ def run_scaled(
     ndraws: int = 256,
     grid_size: int = 16,
     seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
     Defaults are the production scale; tests call with tiny sizes.
+    With ``checkpoint_dir``, the expensive front half (data generation,
+    sharded POD, GP fit) checkpoints its outputs and a rerun resumes from
+    them (``io.checkpoint``, orbax-backed).
     """
+    import os
+
+    from ..io.checkpoint import (
+        load_checkpoint,
+        pipeline_stage_state,
+        save_checkpoint,
+    )
+
     if mesh is None:
         n_dev = len(jax.devices())
         mode_ax = 2 if n_dev % 2 == 0 else 1
@@ -92,31 +104,66 @@ def run_scaled(
     key = jax.random.PRNGKey(seed)
     k_data, k_fit, k_draw = jax.random.split(key, 3)
 
-    # --- distributed POD: spatial axis sharded over the whole mesh -----------
-    states = _synthetic_states(k_data, n_space, n_snapshots, num_modes)
-    basis, svdvals = sharded_gram_pod(
-        states - jnp.mean(states, axis=1, keepdims=True),
-        num_modes,
-        mesh=None,  # already device-resident; constraint applied below
+    ckpt_path = (
+        os.path.join(checkpoint_dir, "scaled_fit_stage")
+        if checkpoint_dir
+        else None
     )
-    compressed = basis.T @ (states - jnp.mean(states, axis=1, keepdims=True))
+    resumed = None
+    if ckpt_path and os.path.isdir(ckpt_path):
+        state, meta = load_checkpoint(ckpt_path)
+        if meta.get("shape") == [n_space, n_snapshots, num_modes, seed]:
+            resumed = state
 
-    # --- GP fits: modes sharded (model-parallel) ------------------------------
     t_all = jnp.linspace(0.0, 1.0, n_snapshots)
     sample_idx = jnp.sort(
         jax.random.choice(k_fit, n_snapshots, (num_gp_samples,), replace=False)
     )
     ts = t_all[sample_idx]
-    Y = compressed[:, sample_idx]  # (r, m)
-
     mode_sharding = NamedSharding(mesh, P("mode"))
-    Y = jax.lax.with_sharding_constraint(Y, NamedSharding(mesh, P("mode", None)))
 
-    box = BoxTransform.from_bounds((1e-5, 1e5), (1e-3, 1e2), (1e-10, 1e2))
-    fit = fit_gp_hyperparameters(
-        ts, Y, box, jax.random.fold_in(k_fit, 1),
-        n_restarts=n_restarts, adam_steps=60, polish_iters=10,
-    )
+    if resumed is not None:
+        Y = jax.device_put(
+            jnp.asarray(resumed["Y"]), NamedSharding(mesh, P("mode", None))
+        )
+        svdvals = jnp.asarray(resumed["svdvals"])
+        sigma2, ell, chi = (
+            jax.device_put(jnp.asarray(resumed[k]), mode_sharding)
+            for k in ("sigma2", "ell", "chi")
+        )
+    else:
+        # --- distributed POD: spatial axis sharded over the whole mesh -------
+        # The (n_space x n_snapshots) snapshot matrix is sharded over BOTH
+        # mesh axes combined — on a v5e-8 every chip holds n_space/8 rows,
+        # and the Gram contraction psums over ICI (SURVEY.md section 2d).
+        space_axes = tuple(mesh.axis_names)
+        states = _synthetic_states(k_data, n_space, n_snapshots, num_modes)
+        centered = states - jnp.mean(states, axis=1, keepdims=True)
+        basis, svdvals = sharded_gram_pod(
+            centered, num_modes, mesh=mesh, row_axis=space_axes
+        )
+        compressed = basis.T @ centered  # (r, k): psum over sharded n
+
+        # --- GP fits: modes sharded (model-parallel) --------------------------
+        Y = compressed[:, sample_idx]  # (r, m)
+        Y = jax.lax.with_sharding_constraint(
+            Y, NamedSharding(mesh, P("mode", None))
+        )
+
+        box = BoxTransform.from_bounds((1e-5, 1e5), (1e-3, 1e2), (1e-10, 1e2))
+        fit = fit_gp_hyperparameters(
+            ts, Y, box, jax.random.fold_in(k_fit, 1),
+            n_restarts=n_restarts, adam_steps=60, polish_iters=10,
+        )
+        sigma2, ell, chi = fit.sigma2, fit.ell, fit.chi
+        if ckpt_path:
+            save_checkpoint(
+                ckpt_path,
+                pipeline_stage_state(
+                    Y=Y, svdvals=svdvals, sigma2=sigma2, ell=ell, chi=chi
+                ),
+                metadata={"shape": [n_space, n_snapshots, num_modes, seed]},
+            )
 
     t_est = jnp.linspace(0.0, 1.0, num_regression_points)
     ests = jax.jit(
@@ -129,12 +176,23 @@ def run_scaled(
             mode_sharding,
             mode_sharding,
         ),
-    )(Y, fit.sigma2, fit.ell, fit.chi)
+    )(Y, sigma2, ell, chi)
 
     # --- regression + draw-sharded screening ---------------------------------
+    # The weighted factorization shards the m' rows over "draw" and the r
+    # problems over "mode" — the m'-scaling (sequence-parallel) path.
+    from functools import partial
+
+    from ..parallel.sharded import tall_skinny_svd
+
     rom = GalerkinROM("cAH", state_dimension=num_modes, substeps=2)
     D = rom.data_matrix(ests.state_estimate)[None]
-    fac = weighted_lstsq_fit(D, ests.sqrtW[:, None], ests.ddt_estimate[:, None])
+    fac = weighted_lstsq_fit(
+        D, ests.sqrtW[:, None], ests.ddt_estimate[:, None],
+        svd_fn=partial(
+            tall_skinny_svd, mesh=mesh, spec=("mode", "draw", None)
+        ),
+    )
 
     states_est = ests.state_estimate
     shift = jnp.mean(states_est, axis=1)

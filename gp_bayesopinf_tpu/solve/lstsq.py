@@ -142,6 +142,7 @@ def weighted_lstsq_fit(
     weight_roots: jnp.ndarray,
     rhs: jnp.ndarray,
     weights_are_cholesky: bool = False,
+    svd_fn=None,
 ) -> WeightedLSTSQ:
     """Weight the blocks and factorize every row problem at once.
 
@@ -162,6 +163,12 @@ def weighted_lstsq_fit(
         solves — the same weighted problem without an eigendecomposition.
     rhs : (r, B, m) array
         Unweighted right-hand sides (GP ddt estimates).
+    svd_fn : optional callable (r, M, d) -> (U, S, V)
+        Alternative thin-SVD implementation; pass
+        ``functools.partial(parallel.sharded.tall_skinny_svd, mesh=...,
+        spec=...)`` to factorize with the long M = B*m axis sharded over a
+        device mesh (the m'-scaling path, SURVEY.md section 2e). Default:
+        one batched dense SVD.
 
     Returns
     -------
@@ -190,7 +197,10 @@ def weighted_lstsq_fit(
         ).reshape(r, B * m, d)
         zt = jnp.einsum("rbij,rbj->rbi", weight_roots, rhs).reshape(r, B * m)
 
-    U, S, Vt = jnp.linalg.svd(Dt, full_matrices=False)
-    V = jnp.swapaxes(Vt, -1, -2)
+    if svd_fn is not None:
+        U, S, V = svd_fn(Dt)
+    else:
+        U, S, Vt = jnp.linalg.svd(Dt, full_matrices=False)
+        V = jnp.swapaxes(Vt, -1, -2)
     Utz = jnp.einsum("rmd,rm->rd", U, zt)
     return WeightedLSTSQ(U, S, V, Utz, Dt, zt)

@@ -146,3 +146,35 @@ def test_fit_gaussian_processes_end_to_end(rng):
     # GP state estimate should track the clean signal reasonably.
     err = np.linalg.norm(np.asarray(gps[0].state_estimate) - np.sin(5 * t_est))
     assert err / np.linalg.norm(np.sin(5 * t_est)) < 0.1
+
+
+def test_gp_save_load_roundtrip_with_estimates(tmp_path, rng):
+    """Persistence parity with the reference's joblib dump of the whole
+    fitted wrapper (``gpkernels.py:423-430``): a loaded GP carries its
+    estimation products and predicts identically, with no recompute."""
+    from gp_bayesopinf_tpu.gp.gp import GaussianProcess
+
+    t = jnp.asarray(np.sort(rng.uniform(0, 1, 25)))
+    y = jnp.asarray(np.sin(5 * np.asarray(t)) + 0.05 * rng.standard_normal(25))
+    gp = GaussianProcess(t, y, 1.4, 0.2, 1e-4)
+    gp.compute_lstsq_matrices(np.linspace(0, 1, 30), eta=1e-8)
+
+    path = str(tmp_path / "gp.npz")
+    gp.save(path)
+    gp2 = GaussianProcess.load(path)
+
+    assert gp2.weight_method == gp.weight_method
+    np.testing.assert_allclose(
+        np.asarray(gp2.state_estimate), np.asarray(gp.state_estimate)
+    )
+    np.testing.assert_allclose(np.asarray(gp2.sqrtW), np.asarray(gp.sqrtW))
+    m1, s1 = gp.predict(np.linspace(0, 1, 17))
+    m2, s2 = gp2.predict(np.linspace(0, 1, 17))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1))
+
+    # Hyperparameters-only save still loads (backward compatible).
+    gp3 = GaussianProcess(t, y, 1.4, 0.2, 1e-4)
+    gp3.save(str(tmp_path / "bare.npz"))
+    gp4 = GaussianProcess.load(str(tmp_path / "bare.npz"))
+    assert gp4.state_estimate is None

@@ -151,6 +151,25 @@ def test_sharded_gram_pod_matches_svd(rng):
         assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-6
 
 
+def test_tall_skinny_svd_sharded(rng):
+    """Sharded Gram-route SVD matches the dense SVD (m'-scaling path)."""
+    from gp_bayesopinf_tpu.parallel import make_mesh
+    from gp_bayesopinf_tpu.parallel.sharded import tall_skinny_svd
+
+    mesh = make_mesh({"mode": 2, "draw": 4})
+    X = rng.standard_normal((2, 64, 5))
+    U, S, V = tall_skinny_svd(
+        jnp.asarray(X), mesh=mesh, spec=("mode", "draw", None)
+    )
+    for r in range(2):
+        Ur, Sr, Vtr = np.linalg.svd(X[r], full_matrices=False)
+        np.testing.assert_allclose(np.asarray(S[r]), Sr, rtol=1e-7)
+        # Reconstruction (signs of singular vectors are arbitrary).
+        np.testing.assert_allclose(
+            np.asarray(U[r] * S[r][None, :] @ V[r].T), X[r], atol=1e-8
+        )
+
+
 def test_scaled_pipeline_on_mesh():
     """North-star scaled config mechanics on the 8-device CPU mesh."""
     from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
@@ -171,3 +190,25 @@ def test_scaled_pipeline_on_mesh():
     assert res.stable_fraction > 0.5
     assert np.all(np.isfinite(res.ensemble_mean))
     assert res.svdvals.shape[0] == 300
+
+
+def test_scaled_pipeline_checkpoint_resume(tmp_path):
+    """The scaled pipeline checkpoints its fit stage (orbax) and a rerun
+    resumes from it with identical results."""
+    import os
+
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+    from gp_bayesopinf_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"draw": 4, "mode": 2})
+    kwargs = dict(
+        mesh=mesh, n_space=96, n_snapshots=200, num_modes=4,
+        num_gp_samples=60, num_regression_points=64,
+        n_restarts=2, ndraws=8, grid_size=6,
+        checkpoint_dir=str(tmp_path),
+    )
+    res1 = run_scaled(**kwargs)
+    assert os.path.isdir(tmp_path / "scaled_fit_stage")
+    res2 = run_scaled(**kwargs)  # resumes from the checkpoint
+    assert res2.regularizer == res1.regularizer
+    np.testing.assert_allclose(res2.ensemble_mean, res1.ensemble_mean)
