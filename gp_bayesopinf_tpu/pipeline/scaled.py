@@ -3,14 +3,24 @@
 The north-star scaled workload (BASELINE.json): an Euler-like problem with
 r = 30 POD modes, O(10k) snapshot columns, large spatial DOF — run with
 
-* the POD Gram matrix reduced over a mesh-sharded spatial axis ("seq"),
-* GP hyperparameter fits and estimation batched over modes and sharded
-  over the "mode" axis (model-parallel),
+* the POD basis from a randomized range finder whose tall matmuls shard
+  the spatial axis over the mesh (``parallel.sharded.randomized_pod``),
+* GP hyperparameter fits batched over modes and sharded over the "mode"
+  axis (model-parallel),
 * posterior draws / regularization candidates sharded over the "draw"
-  axis (data-parallel).
+  axis (data-parallel),
+* the regression factorization's long m' axis sharded over "draw"
+  (sequence-parallel, ``parallel.sharded.tall_skinny_svd``).
+
+Precision follows the hybrid policy (``utils.hostmath``): all large,
+batched work runs in f32 on the accelerator mesh; every numerically
+critical factorization (GP estimation Cholesky factors, weighted
+triangular solves, small eigendecompositions) runs in true f64 on the
+host CPU device. TPU-emulated f64 is never used — it is both slow
+(minutes-long compiles) and loose (~1e-2 matmul error measured).
 
 ``run_scaled`` is size-parameterized so the same code path runs as an
-8-virtual-device CPU test (tiny sizes) and as the real v5e-8 workload.
+8-virtual-device CPU test (tiny sizes) and as the real v5e workload.
 """
 
 import dataclasses
@@ -25,10 +35,11 @@ from ..gp.estimates import gp_estimates
 from ..gp.fit import fit_gp_hyperparameters
 from ..gp.nlml import BoxTransform
 from ..parallel.mesh import make_mesh
-from ..parallel.sharded import sharded_gram_pod
+from ..parallel.sharded import randomized_pod, tall_skinny_svd
 from ..rom.model import GalerkinROM
-from ..solve.lstsq import weighted_lstsq_fit
+from ..solve.lstsq import WeightedLSTSQ
 from ..solve.ivp import stability_mask
+from ..utils.hostmath import host_jit
 
 
 @dataclasses.dataclass
@@ -38,31 +49,48 @@ class ScaledResult:
     ensemble_mean: np.ndarray  # (r, k_pred)
     stable_fraction: float
     svdvals: np.ndarray
+    train_error: float = float("nan")  # rel. error of ensemble mean vs GP estimates
+    grid: Optional[np.ndarray] = None  # candidate regularizers
+    grid_errors: Optional[np.ndarray] = None  # 1e12 = rejected (unstable)
 
 
-def _synthetic_states(key, n: int, k: int, num_modes: int):
-    """Low-rank snapshots from a stable latent linear system lifted to the
-    full spatial dimension (data generation is not the scaling target; the
-    latent dynamics are recoverable by the quadratic ROM so the full
-    pipeline exercises meaningfully at any size)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
+    """Low-rank snapshots from a stable latent LINEAR system lifted to the
+    full spatial dimension.
+
+    The latent dynamics are damped rotation pairs
+
+        q_{2p}' = -gamma_p q_{2p} - omega_p q_{2p+1},
+        q_{2p+1}' = omega_p q_{2p} - gamma_p q_{2p+1},
+
+    with a DISTINCT harmonic frequency ladder omega_p = 2 pi (p+1) * 0.8 —
+    every mode completes a different number of periods over t in [0, 1],
+    so the latent trajectory has true numerical rank = num_modes (similar
+    low frequencies over a fraction of a period would collapse the
+    spectrum to rank ~4 and leave the trailing POD modes pure noise,
+    which poisons the 5x-amplitude stability envelopes downstream). The
+    dynamics are exactly representable by the quadratic "cAH" ROM
+    (c = 0, H = 0, block-diagonal A), so the full pipeline exercises
+    meaningfully at any size."""
+    k2, k3 = jax.random.split(key, 2)
     r_true = num_modes
-    # Stable latent dynamics: damped rotations.
-    freqs = 2.0 + 4.0 * jax.random.uniform(k1, (r_true // 2 + 1,))
-    t = jnp.linspace(0.0, 1.0, k)
+    t = jnp.linspace(0.0, 1.0, k, dtype=dtype)
     comps = []
-    for j in range(r_true):
-        f = freqs[j // 2]
-        damp = jnp.exp(-0.3 * (1 + j % 3) * t)
-        comps.append(
-            damp * (jnp.cos(f * t) if j % 2 == 0 else jnp.sin(f * t))
-        )
-    latent = jnp.stack(comps) / jnp.arange(1, r_true + 1)[:, None] ** 0.5
+    for p in range(r_true // 2 + 1):
+        omega = 2.0 * jnp.pi * (p + 1) * 0.8
+        gamma = 0.2 + 0.1 * (p % 5)
+        amp = (p + 1.0) ** -0.5
+        damp = amp * jnp.exp(-gamma * t)
+        comps.append(damp * jnp.cos(omega * t))
+        comps.append(damp * jnp.sin(omega * t))
+    latent = jnp.stack(comps[:r_true]).astype(dtype)
     # Near-orthogonal random lift (cheap at large n; exact orthogonality
     # is unnecessary — POD re-orthogonalizes).
-    B = jax.random.normal(k2, (n, r_true)) / jnp.sqrt(n)
+    B = jax.random.normal(k2, (n, r_true), dtype=dtype) / jnp.sqrt(
+        jnp.asarray(n, dtype)
+    )
     states = B @ latent
-    noise = 0.003 * jax.random.normal(k3, states.shape, dtype=states.dtype)
+    noise = 0.003 * jax.random.normal(k3, states.shape, dtype=dtype)
     return states + noise
 
 
@@ -72,11 +100,12 @@ def run_scaled(
     n_snapshots: int = 10000,
     num_modes: int = 30,
     num_gp_samples: int = 512,
-    num_regression_points: int = 512,
-    n_restarts: int = 8,
+    num_regression_points: int = 2048,
+    n_restarts: int = 32,
     ndraws: int = 256,
     grid_size: int = 16,
     seed: int = 0,
+    modelform: str = "cA",
     checkpoint_dir: Optional[str] = None,
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
@@ -101,6 +130,8 @@ def run_scaled(
     if num_modes % mesh.shape["mode"]:
         raise ValueError("num_modes must divide the 'mode' mesh axis")
 
+    f32 = jnp.float32
+    f64 = jnp.float64
     key = jax.random.PRNGKey(seed)
     k_data, k_fit, k_draw = jax.random.split(key, 3)
 
@@ -115,16 +146,20 @@ def run_scaled(
         if meta.get("shape") == [n_space, n_snapshots, num_modes, seed]:
             resumed = state
 
-    t_all = jnp.linspace(0.0, 1.0, n_snapshots)
-    sample_idx = jnp.sort(
-        jax.random.choice(k_fit, n_snapshots, (num_gp_samples,), replace=False)
+    t_all = np.linspace(0.0, 1.0, n_snapshots)
+    sample_idx = np.sort(
+        np.asarray(
+            jax.random.choice(
+                k_fit, n_snapshots, (num_gp_samples,), replace=False
+            )
+        )
     )
-    ts = t_all[sample_idx]
+    ts = t_all[sample_idx]  # (m,) f64 host
     mode_sharding = NamedSharding(mesh, P("mode"))
 
     if resumed is not None:
         Y = jax.device_put(
-            jnp.asarray(resumed["Y"]), NamedSharding(mesh, P("mode", None))
+            jnp.asarray(resumed["Y"], f32), NamedSharding(mesh, P("mode", None))
         )
         svdvals = jnp.asarray(resumed["svdvals"])
         sigma2, ell, chi = (
@@ -135,12 +170,18 @@ def run_scaled(
         # --- distributed POD: spatial axis sharded over the whole mesh -------
         # The (n_space x n_snapshots) snapshot matrix is sharded over BOTH
         # mesh axes combined — on a v5e-8 every chip holds n_space/8 rows,
-        # and the Gram contraction psums over ICI (SURVEY.md section 2d).
+        # and the randomized range finder's contractions psum over ICI
+        # (SURVEY.md section 2d). f32 on device; (l x l) factorizations on
+        # the host in f64 inside randomized_pod.
         space_axes = tuple(mesh.axis_names)
         states = _synthetic_states(k_data, n_space, n_snapshots, num_modes)
         centered = states - jnp.mean(states, axis=1, keepdims=True)
-        basis, svdvals = sharded_gram_pod(
-            centered, num_modes, mesh=mesh, row_axis=space_axes
+        basis, svdvals = randomized_pod(
+            centered,
+            num_modes,
+            mesh=mesh,
+            row_axis=space_axes,
+            key=jax.random.fold_in(k_data, 1),
         )
         compressed = basis.T @ centered  # (r, k): psum over sharded n
 
@@ -152,8 +193,11 @@ def run_scaled(
 
         box = BoxTransform.from_bounds((1e-5, 1e5), (1e-3, 1e2), (1e-10, 1e2))
         fit = fit_gp_hyperparameters(
-            ts, Y, box, jax.random.fold_in(k_fit, 1),
-            n_restarts=n_restarts, adam_steps=60, polish_iters=10,
+            jnp.asarray(ts), Y, box, jax.random.fold_in(k_fit, 1),
+            # Restarts are one vmapped batch on the accelerator —
+            # effectively free. 8 restarts left ~10% of modes in the
+            # 'all-noise' NLML local optimum at production scale.
+            n_restarts=n_restarts, adam_steps=150, polish_iters=30,
         )
         sigma2, ell, chi = fit.sigma2, fit.ell, fit.chi
         if ckpt_path:
@@ -165,40 +209,83 @@ def run_scaled(
                 metadata={"shape": [n_space, n_snapshots, num_modes, seed]},
             )
 
-    t_est = jnp.linspace(0.0, 1.0, num_regression_points)
-    ests = jax.jit(
+    # --- GP estimation: true-f64 factorizations on the host ------------------
+    # method="chol": the weight root is the Cholesky factor of C + eta*I,
+    # applied below via triangular solves — same weighted regression as the
+    # reference's sqrtW without any (m' x m') eigendecomposition
+    # (gp/estimates.py docstring; reference codebase/gpkernels.py:445-504).
+    t_est = np.linspace(0.0, 1.0, num_regression_points)
+    ts64 = jnp.asarray(ts, f64)
+    t_est64 = jnp.asarray(t_est, f64)
+    ests = host_jit(
         jax.vmap(
-            lambda y, s2, l, c: gp_estimates(ts, y, t_est, s2, l, c, eta=1e-8)
-        ),
-        in_shardings=(
-            NamedSharding(mesh, P("mode", None)),
-            mode_sharding,
-            mode_sharding,
-            mode_sharding,
-        ),
-    )(Y, sigma2, ell, chi)
-
-    # --- regression + draw-sharded screening ---------------------------------
-    # The weighted factorization shards the m' rows over "draw" and the r
-    # problems over "mode" — the m'-scaling (sequence-parallel) path.
-    from functools import partial
-
-    from ..parallel.sharded import tall_skinny_svd
-
-    rom = GalerkinROM("cAH", state_dimension=num_modes, substeps=2)
-    D = rom.data_matrix(ests.state_estimate)[None]
-    fac = weighted_lstsq_fit(
-        D, ests.sqrtW[:, None], ests.ddt_estimate[:, None],
-        svd_fn=partial(
-            tall_skinny_svd, mesh=mesh, spec=("mode", "draw", None)
-        ),
+            lambda y, s2, l, c: gp_estimates(
+                ts64, y, t_est64, s2, l, c, eta=1e-8, method="chol"
+            )
+        )
+    )(
+        jnp.asarray(Y, f64),
+        jnp.asarray(sigma2, f64),
+        jnp.asarray(ell, f64),
+        jnp.asarray(chi, f64),
     )
 
-    states_est = ests.state_estimate
+    # --- regression: host-f64 weighting + mesh-sharded f32 factorization -----
+    # The weighted factorization shards the m' rows over "draw" and the r
+    # problems over "mode" — the m'-scaling (sequence-parallel) path
+    # (SURVEY.md section 2e). Triangular solves stay on the host (f64);
+    # the Gram contraction of the (r, m', d) weighted data matrices runs
+    # sharded on the mesh with its small (d x d) eigh back on the host.
+    # Default structure "cA": the synthetic truth is linear (H = 0), so
+    # the quadratic block is unidentifiable from data and scalar-lambda
+    # shrinkage would have to kill A along with it — the honest Bayesian
+    # answer, but a vacuous demo. "cAH" runs the same code with d ~ r^2/2
+    # unknowns (exercised in tests).
+    rom = GalerkinROM(modelform, state_dimension=num_modes, substeps=2)
+    D = rom.data_matrix(ests.state_estimate)  # (m', d) f64 host
+    if num_regression_points < D.shape[1]:
+        raise ValueError(
+            f"underdetermined regression: num_regression_points="
+            f"{num_regression_points} < d={D.shape[1]} unknowns; raise "
+            "num_regression_points (the m'-sharded factorization scales it)"
+        )
+
+    def _weight(L, Dmat, z):
+        Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
+        Dw = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
+        zw = jax.scipy.linalg.solve_triangular(L, z[..., None], lower=True)
+        return Dw, zw[..., 0]
+
+    Dw, zw = host_jit(_weight)(
+        ests.weight_root, D, ests.ddt_estimate
+    )  # (r, m', d), (r, m') f64 host
+
+    U, S, V = tall_skinny_svd(
+        jnp.asarray(Dw, f32), mesh=mesh, spec=("mode", "draw", None)
+    )
+    zw32 = jax.device_put(
+        jnp.asarray(zw, f32), NamedSharding(mesh, P("mode", "draw"))
+    )
+    Utz = jnp.einsum("rmd,rm->rd", U, zw32)
+    fac = WeightedLSTSQ(U, S, V, Utz, jnp.asarray(Dw, f32), zw32)
+
+    # --- draw-sharded screening (all-f32 on the mesh) -------------------------
+    states_est = jax.device_put(
+        jnp.asarray(ests.state_estimate, f32),
+        NamedSharding(mesh, P("mode", None)),
+    )
+    t_est32 = jnp.asarray(t_est, f32)
     shift = jnp.mean(states_est, axis=1)
     limits = 5.0 * jnp.max(jnp.abs(states_est - shift[:, None]), axis=1)
+    # Floor the per-mode envelope at 2% of the global mode scale: trailing
+    # POD modes whose GP estimate is (correctly) smoothed to near-flat
+    # would otherwise have a ~zero envelope that rejects EVERY posterior
+    # draw. The reference's per-variable 5x rule (PDEs/step3_estimate.py)
+    # never meets this because its r <= 8 modes all carry signal.
+    limits = jnp.maximum(limits, 0.02 * jnp.max(limits))
     q0 = states_est[:, 0]
-    grid = jnp.asarray(np.logspace(-12, 6, grid_size))
+    grid = np.logspace(-12, 6, grid_size)
+    grid32 = jnp.asarray(grid, f32)
 
     draw_sharding = NamedSharding(mesh, P("draw", None, None))
 
@@ -207,38 +294,49 @@ def run_scaled(
         def one(lam, k):
             ohats = fac.sample(lam, k, 8)
             ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
-            sols = jax.vmap(lambda O: rom.predict(O, q0, t_est))(ohats)
+            sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
             stable = jnp.all(stability_mask(sols, shift, limits))
             err = jnp.linalg.norm(jnp.mean(sols, axis=0) - states_est)
             err = err / jnp.linalg.norm(states_est)
             return jnp.where(stable & jnp.isfinite(err), err, 1e12)
 
-        return jax.vmap(one)(grid, keys)
+        return jax.vmap(one)(grid32, keys)
 
     errs = candidate_errors(jax.random.split(k_draw, grid_size))
+    errs_np = np.asarray(errs)
     if bool(jnp.all(errs >= 1e12)):
         raise ValueError(
             "scaled grid search failed: every candidate unstable "
             "(extend the grid or increase num_regression_points)"
         )
-    lam = grid[jnp.argmin(errs)]
+    lam = grid32[jnp.argmin(errs)]
 
     @jax.jit
     def final_ensemble(key):
         ohats = fac.sample(lam, key, ndraws)
         ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
-        sols = jax.vmap(lambda O: rom.predict(O, q0, t_est))(ohats)
+        sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
         ok = stability_mask(sols, shift, limits)
         acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
-        return acc / jnp.maximum(jnp.sum(ok), 1), jnp.mean(ok)
+        return acc / jnp.maximum(jnp.sum(ok), 1), jnp.mean(
+            ok.astype(f32)
+        )
 
     with mesh:
         mean_traj, frac = final_ensemble(jax.random.fold_in(k_draw, 7))
 
+    mean_np = np.asarray(mean_traj)
+    se_np = np.asarray(states_est)
+    train_error = float(
+        np.linalg.norm(mean_np - se_np) / np.linalg.norm(se_np)
+    )
     return ScaledResult(
         num_modes=num_modes,
         regularizer=float(lam),
-        ensemble_mean=np.asarray(mean_traj),
+        ensemble_mean=mean_np,
         stable_fraction=float(frac),
         svdvals=np.asarray(svdvals),
+        train_error=train_error,
+        grid=grid,
+        grid_errors=errs_np,
     )
