@@ -226,25 +226,50 @@ def fit_gp_hyperparameters(
     v_best = v_scr[jnp.arange(r), best]
 
     # Phase 2 — polish on the host in f64: only r L-BFGS instances, each
-    # line-search evaluation is one LAPACK Cholesky (sub-millisecond); on
-    # the TPU the same sequential factorization is latency-bound (~100 ms
-    # per evaluation) and emulated-f64 besides.
+    # line-search evaluation one batched LAPACK Cholesky. (Running the
+    # compiled L-BFGS program on the TPU instead crashes the axon worker
+    # — same bug family as the fused argmin+gather+polish graph — and
+    # f64 there is emulated besides.) The zoom line search makes ~20
+    # evaluations per iteration, so at large m the O(m^3) per-eval cost
+    # is capped by polishing on a strided subsample (same trick as the
+    # screening phase; ~900 s -> ~30 s at r=30, m=512). The WINNER
+    # SELECTION below stays exact either way: both candidates are
+    # re-evaluated with the full-data f64 NLML.
     f64 = jnp.float64
     box64 = BoxTransform(box.lo.astype(f64), box.hi.astype(f64))
-    z_pol, v_pol = host_jit(_polish_all, static_argnames=("polish_iters",))(
-        T.astype(f64), Y.astype(f64), box64, z_best.astype(f64), polish_iters
+    polish_points = 128
+    if m > polish_points:
+        pidx = jnp.asarray(
+            np.unique(
+                np.linspace(0, m - 1, polish_points).round().astype(int)
+            )
+        )
+        T_pol, Y_pol = T[:, pidx], Y[:, pidx]
+    else:
+        T_pol, Y_pol = T, Y
+    z_pol, _ = host_jit(_polish_all, static_argnames=("polish_iters",))(
+        T_pol.astype(f64), Y_pol.astype(f64), box64, z_best.astype(f64),
+        polish_iters,
+    )
+
+    # Full-data f64 NLML for both candidates (2r evaluations, host LAPACK).
+    pair = jnp.stack(
+        [jnp.asarray(np.asarray(z_best, np.float64)),
+         jnp.asarray(np.asarray(z_pol, np.float64))],
+        axis=1,
+    )  # (r, 2, 3)
+    v_pair = np.asarray(
+        host_jit(lambda T_, Y_, b_, Z_: _rank_full(T_, Y_, b_, Z_))(
+            T.astype(f64), Y.astype(f64), box64, pair
+        )
     )
     # Selection math happens in NumPy on host copies: screening outputs may
     # be committed to an accelerator (or sharded over a mesh) while the
     # polish is host-committed, and the r x 3 arithmetic is trivial.
-    v_pol_h, z_pol_h = np.asarray(v_pol), np.asarray(z_pol)
-    v_best_h, z_best_h = (
-        np.asarray(v_best, dtype=np.float64),
-        np.asarray(z_best, dtype=np.float64),
-    )
-    take = v_pol_h < v_best_h
-    z_fin = jnp.asarray(np.where(take[:, None], z_pol_h, z_best_h))
-    v_fin = jnp.asarray(np.where(take, v_pol_h, v_best_h))
+    z_pair_h = np.asarray(pair)
+    pick = np.argmin(v_pair, axis=1)
+    z_fin = jnp.asarray(z_pair_h[np.arange(r), pick])
+    v_fin = jnp.asarray(v_pair[np.arange(r), pick])
 
     log_params = jax.vmap(box64.to_log_params)(z_fin)
     params = jnp.exp(log_params)

@@ -106,6 +106,7 @@ def run_scaled(
     grid_size: int = 16,
     seed: int = 0,
     modelform: str = "cA",
+    verbose: bool = False,
     checkpoint_dir: Optional[str] = None,
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
@@ -116,6 +117,10 @@ def run_scaled(
     them (``io.checkpoint``, orbax-backed).
     """
     import os
+
+    from ..utils.timing import TimedBlock
+
+    tb = lambda msg: TimedBlock(msg, silent=not verbose)
 
     from ..io.checkpoint import (
         load_checkpoint,
@@ -174,7 +179,9 @@ def run_scaled(
         # (SURVEY.md section 2d). f32 on device; (l x l) factorizations on
         # the host in f64 inside randomized_pod.
         space_axes = tuple(mesh.axis_names)
-        states = _synthetic_states(k_data, n_space, n_snapshots, num_modes)
+        with tb("scaled: data generation"):
+            states = _synthetic_states(k_data, n_space, n_snapshots, num_modes)
+            states.block_until_ready()
         centered = states - jnp.mean(states, axis=1, keepdims=True)
         basis, svdvals = randomized_pod(
             centered,
@@ -192,13 +199,14 @@ def run_scaled(
         )
 
         box = BoxTransform.from_bounds((1e-5, 1e5), (1e-3, 1e2), (1e-10, 1e2))
-        fit = fit_gp_hyperparameters(
+        with tb("scaled: GP fit"):
+            fit = fit_gp_hyperparameters(
             jnp.asarray(ts), Y, box, jax.random.fold_in(k_fit, 1),
             # Restarts are one vmapped batch on the accelerator —
             # effectively free. 8 restarts left ~10% of modes in the
             # 'all-noise' NLML local optimum at production scale.
-            n_restarts=n_restarts, adam_steps=150, polish_iters=30,
-        )
+                n_restarts=n_restarts, adam_steps=150, polish_iters=30,
+            )
         sigma2, ell, chi = fit.sigma2, fit.ell, fit.chi
         if ckpt_path:
             save_checkpoint(
@@ -217,18 +225,20 @@ def run_scaled(
     t_est = np.linspace(0.0, 1.0, num_regression_points)
     ts64 = jnp.asarray(ts, f64)
     t_est64 = jnp.asarray(t_est, f64)
-    ests = host_jit(
-        jax.vmap(
-            lambda y, s2, l, c: gp_estimates(
-                ts64, y, t_est64, s2, l, c, eta=1e-8, method="chol"
+    with tb("scaled: GP estimation (host f64)"):
+        ests = host_jit(
+            jax.vmap(
+                lambda y, s2, l, c: gp_estimates(
+                    ts64, y, t_est64, s2, l, c, eta=1e-8, method="chol"
+                )
             )
+        )(
+            jnp.asarray(Y, f64),
+            jnp.asarray(sigma2, f64),
+            jnp.asarray(ell, f64),
+            jnp.asarray(chi, f64),
         )
-    )(
-        jnp.asarray(Y, f64),
-        jnp.asarray(sigma2, f64),
-        jnp.asarray(ell, f64),
-        jnp.asarray(chi, f64),
-    )
+        ests.state_estimate.block_until_ready()
 
     # --- regression: host-f64 weighting + mesh-sharded f32 factorization -----
     # The weighted factorization shards the m' rows over "draw" and the r
@@ -256,13 +266,17 @@ def run_scaled(
         zw = jax.scipy.linalg.solve_triangular(L, z[..., None], lower=True)
         return Dw, zw[..., 0]
 
-    Dw, zw = host_jit(_weight)(
-        ests.weight_root, D, ests.ddt_estimate
-    )  # (r, m', d), (r, m') f64 host
+    with tb("scaled: weighting (host f64)"):
+        Dw, zw = host_jit(_weight)(
+            ests.weight_root, D, ests.ddt_estimate
+        )  # (r, m', d), (r, m') f64 host
+        Dw.block_until_ready()
 
-    U, S, V = tall_skinny_svd(
-        jnp.asarray(Dw, f32), mesh=mesh, spec=("mode", "draw", None)
-    )
+    with tb("scaled: TSQR factorization (sharded)"):
+        U, S, V = tall_skinny_svd(
+            jnp.asarray(Dw, f32), mesh=mesh, spec=("mode", "draw", None)
+        )
+        U.block_until_ready()
     zw32 = jax.device_put(
         jnp.asarray(zw, f32), NamedSharding(mesh, P("mode", "draw"))
     )
@@ -302,7 +316,9 @@ def run_scaled(
 
         return jax.vmap(one)(grid32, keys)
 
-    errs = candidate_errors(jax.random.split(k_draw, grid_size))
+    with tb("scaled: regularization screening"):
+        errs = candidate_errors(jax.random.split(k_draw, grid_size))
+        errs.block_until_ready()
     errs_np = np.asarray(errs)
     if bool(jnp.all(errs >= 1e12)):
         raise ValueError(
@@ -322,8 +338,9 @@ def run_scaled(
             ok.astype(f32)
         )
 
-    with mesh:
+    with tb("scaled: posterior ensemble"), mesh:
         mean_traj, frac = final_ensemble(jax.random.fold_in(k_draw, 7))
+        mean_traj.block_until_ready()
 
     mean_np = np.asarray(mean_traj)
     se_np = np.asarray(states_est)

@@ -24,20 +24,28 @@ class TimedBlock:
         observable behavior of the reference's usage).
     """
 
-    def __init__(self, message: str, timelimit: Optional[float] = None):
+    def __init__(
+        self,
+        message: str,
+        timelimit: Optional[float] = None,
+        silent: bool = False,
+    ):
         self.message = message
         self.timelimit = timelimit
+        self.silent = silent
         self.elapsed = None
 
     def __enter__(self):
-        print(self.message, end="" if self.message.endswith("\n") else "...")
+        if not self.silent:
+            print(self.message, end="" if self.message.endswith("\n") else "...")
         self._t0 = time.perf_counter()
         return self
 
     def __exit__(self, exc_type, exc, tb):
         self.elapsed = time.perf_counter() - self._t0
         if exc_type is None:
-            print(f"done in {self.elapsed:.2f} s.")
+            if not self.silent:
+                print(f"done in {self.elapsed:.2f} s.")
             logging.info(f"{self.message.strip()}: {self.elapsed:.6f} s")
             if self.timelimit is not None and self.elapsed > self.timelimit:
                 raise TimeoutError(
