@@ -233,9 +233,11 @@ def auto_regularize(
     if use_kernel:
         import os as _os
 
-        # The Pallas megakernel is opt-in (GPBOI_PALLAS=1) until the axon
-        # toolchain compiles it reliably; the jitted XLA twin is already
-        # ~50 ms per 81x20x2 grid on a v5e chip.
+        # The Pallas megakernel is DEFAULT-ON for TPU backends (round 2:
+        # the dynamic lane-axis snapshot read that crashed the axon Mosaic
+        # toolchain was replaced with a sublane-layout read; flagship grid
+        # ~31 ms warm vs ~50 ms for the jitted XLA twin, bit-identical
+        # stability decisions). GPBOI_PALLAS=0 opts out.
         grid_objective = _make_kernel_objective(
             lstsq,
             rom,
@@ -246,7 +248,7 @@ def auto_regularize(
             ndraws,
             use_pallas=(
                 _jax.default_backend() == "tpu"
-                and _os.environ.get("GPBOI_PALLAS", "0") == "1"
+                and _os.environ.get("GPBOI_PALLAS", "1") != "0"
             ),
         )
         batched = lambda lams, keys: grid_objective(lams, keys)

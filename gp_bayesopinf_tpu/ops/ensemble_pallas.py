@@ -50,7 +50,7 @@ def _screen_kernel(
     q0_ref,  # VMEM (r, Np)
     shift_ref,  # VMEM (r, 1)
     limits_ref,  # VMEM (r, 1)
-    snaps_ref,  # VMEM (r, k) GP state estimates (zeros if unused)
+    snaps_ref,  # VMEM (k, r) GP state estimates, TIME ON SUBLANES (zeros if unused)
     gmat_ref,  # VMEM (Np, G) group indicator / nd
     stable_ref,  # out VMEM (r, Np) int32
     err_ref,  # out VMEM (1, G) f32
@@ -86,11 +86,23 @@ def _screen_kernel(
         if not track_error:
             return err
         mean = jnp.dot(q, gmat, preferred_element_type=jnp.float32)  # (r, G)
-        diff = mean - snaps_ref[:, i][:, None]
+        # Dynamic LANE-axis reads (snaps[:, i]) crash the axon Mosaic
+        # toolchain; the snapshots therefore arrive transposed (k, r) and
+        # the per-step target is a dynamic SUBLANE row read (supported)
+        # plus a tiny (1, r) -> (r, 1) relayout. The index must be a
+        # TRACED scalar: pl.ds with a concrete value trips a PyTreeDef
+        # bug in the Mosaic load lowering, hence the static slice for the
+        # initial step below.
+        row = (
+            snaps_ref[0:1, :]
+            if isinstance(i, int)
+            else snaps_ref[pl.ds(i, 1), :]
+        )  # (1, r)
+        diff = mean - jnp.transpose(row)  # (r, G) - (r, 1)
         return err + jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, G)
 
     err0 = jnp.zeros_like(err_ref)
-    err0 = step_error(jnp.int32(0), q, err0)
+    err0 = step_error(0, q, err0)
 
     one = jnp.int32(1)
 
@@ -157,9 +169,9 @@ def quadratic_ensemble_screen(
     gmat = gmat.at[draw_ids, draw_ids // nd].set(1.0 / nd)
 
     snaps = (
-        snapshots.astype(f32)
+        jnp.transpose(snapshots.astype(f32))  # (k, r): time on sublanes
         if snapshots is not None
-        else jnp.zeros((r, k), dtype=f32)
+        else jnp.zeros((k, r), dtype=f32)
     )
 
     stable2d, err_sq = pl.pallas_call(
