@@ -262,7 +262,7 @@ def make_tpu_fn():
     grid = jnp.asarray(np.logspace(-16, 4, NGRID))
     use_pallas = (
         jax.default_backend() == "tpu"
-        and os.environ.get("GPBOI_PALLAS", "0") == "1"
+        and os.environ.get("GPBOI_PALLAS", "1") != "0"
     )
 
     # Stage A (host, true f64): estimation factorizations + regression SVD.
@@ -375,6 +375,16 @@ def main():
         pipeline()
     tpu_s = (time.perf_counter() - t0) / reps
     _log(f"TPU steady-state (fit+estimate+search+ensemble): {tpu_s:.4f} s")
+
+    # Stage split (one extra rep, stderr only).
+    t0 = time.perf_counter()
+    hyper = fit(ts_j, Y_j, fit_key)
+    jax.block_until_ready(hyper)
+    _log(f"  stage split: fit {time.perf_counter() - t0:.3f} s")
+    t0 = time.perf_counter()
+    out = fn(ts_j, Y_j, t_est_j, t_pred_j, hyper, core_key)
+    jax.block_until_ready(out)
+    _log(f"  stage split: estimate+search+ensemble {time.perf_counter() - t0:.3f} s")
 
     # Capability check: both fitters must land on optima of comparable
     # quality (the reference's own dual-backend tolerance is loose,

@@ -176,8 +176,8 @@ def fit_gaussian_processes(
     n_restarts_optimizer: int = 50,
     gp_regularizer: float = 1e-8,
     key=None,
-    adam_steps: int = 150,
-    polish_iters: int = 30,
+    adam_steps: int = 100,
+    polish_iters: int = 10,
     weight_method: Optional[str] = None,
 ):
     """Fit GPs to every row of ``snapshots_sampled`` — one batched solve.
