@@ -190,6 +190,7 @@ def auto_regularize(
     rom=None,
     use_kernel: Optional[bool] = None,
     screen_on_host: bool = False,
+    refine_failure: str = "fallback",
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
@@ -199,7 +200,14 @@ def auto_regularize(
     When ``rom`` is an autonomous "cAH" ``GalerkinROM``, the grid phase can
     run through the Pallas ensemble-screening megakernel (``use_kernel``;
     defaults to True on TPU backends).
+
+    ``refine_failure`` selects the reference's divergent semantics when the
+    bounded refinement fails: the PDEs pipeline falls back to the grid best
+    (``PDEs/step3_estimate.py:176-178``, the default) while PDEsMulti
+    raises (``PDEsMulti/step3_estimate.py:207``, ``refine_failure="raise"``).
     """
+    if refine_failure not in ("fallback", "raise"):
+        raise ValueError("refine_failure must be 'fallback' or 'raise'")
     from ..utils.hostmath import to_accelerator
 
     grid = DEFAULT_GRID_PDE if grid is None else np.sort(np.atleast_1d(grid))
@@ -237,24 +245,44 @@ def auto_regularize(
         # the dynamic lane-axis snapshot read that crashed the axon Mosaic
         # toolchain was replaced with a sublane-layout read; flagship grid
         # ~31 ms warm vs ~50 ms for the jitted XLA twin, bit-identical
-        # stability decisions). GPBOI_PALLAS=0 opts out.
-        grid_objective = _make_kernel_objective(
-            lstsq,
-            rom,
-            initial_conditions,
-            jnp.asarray(t_pred),
-            jnp.asarray(t_est),
-            snapshots_est,
-            ndraws,
-            use_pallas=(
+        # stability decisions). GPBOI_PALLAS=0 opts out, and any Mosaic
+        # compile/runtime failure automatically falls back to the
+        # semantically-identical XLA twin instead of hard-failing the run.
+        def _build_kernel_objective(use_pallas):
+            return _make_kernel_objective(
+                lstsq,
+                rom,
+                initial_conditions,
+                jnp.asarray(t_pred),
+                jnp.asarray(t_est),
+                snapshots_est,
+                ndraws,
+                use_pallas=use_pallas,
+            )
+
+        _obj = {
+            "pallas": (
                 _jax.default_backend() == "tpu"
                 and _os.environ.get("GPBOI_PALLAS", "1") != "0"
-            ),
-        )
-        batched = lambda lams, keys: grid_objective(lams, keys)
-        single = lambda lam, k: grid_objective(
-            jnp.asarray(lam)[None], k[None]
-        )[0]
+            )
+        }
+        _obj["fn"] = _build_kernel_objective(_obj["pallas"])
+
+        def batched(lams, ks):
+            try:
+                return _obj["fn"](lams, ks)
+            except Exception as exc:  # Mosaic toolchain regression
+                if not _obj["pallas"]:
+                    raise
+                _logging.warning(
+                    "Pallas ensemble megakernel failed (%r); "
+                    "falling back to the XLA twin", exc,
+                )
+                _obj["fn"] = _build_kernel_objective(False)
+                _obj["pallas"] = False
+                return _obj["fn"](lams, ks)
+
+        single = lambda lam, k: batched(jnp.asarray(lam)[None], k[None])[0]
     else:
         if screen_dtype is None and _jax.default_backend() == "tpu":
             # No native f64 on TPU; screening tolerates f32 by design.
@@ -332,6 +360,13 @@ def auto_regularize(
         if verbose:
             print(f"Best regularization via optimization: {chosen:.4e}")
     else:
+        if refine_failure == "raise":
+            # PDEsMulti semantics: a failed refinement aborts the run
+            # (``PDEsMulti/step3_estimate.py:207``).
+            raise RuntimeError(
+                "regularization refinement failed "
+                f"(success={opt.success}, fun={opt.fun!r})"
+            )
         chosen, refined = best_reg, False
         _logging.info("Regularization optimization failed; using grid best")
         if verbose:

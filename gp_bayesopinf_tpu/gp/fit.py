@@ -151,12 +151,31 @@ def _polish_all(T, Y, box, z_best, polish_iters):
     return jax.vmap(one_mode)(T, Y, z_best)
 
 
+@jax.jit
+def _finalize(box, z_fin):
+    """Unconstrained winners -> log hyperparameters, on device."""
+    return jax.vmap(box.to_log_params)(z_fin)
+
+
+@jax.jit
+def _select_winner(v, z):
+    """Gather each mode's best screened candidate on the device.
+
+    A standalone XLA program on purpose: fusing the argmin+gather INTO the
+    polish graph trips an XLA:TPU memory-space assignment bug (CLAUDE.md),
+    but the bare argmin+gather is fine and avoids a host round trip.
+    """
+    best = jnp.argmin(v, axis=1)
+    idx = jnp.arange(z.shape[0])
+    return z[idx, best]
+
+
 # Host-compiled variants are built ONCE at module scope: host_jit returns a
 # fresh jax.jit wrapper (fresh trace cache), so building it per fit call
 # would re-trace the polish/rank graphs every time (~2 s of fixed overhead
 # per fit measured on this machine).
 _polish_all_host = host_jit(_polish_all, static_argnames=("polish_iters",))
-_rank_full_host = host_jit(_rank_full)
+_rank_full_host = host_jit(_rank_full)  # host f64 NLML (profiling/oracles)
 
 
 def default_fit_dtype():
@@ -181,14 +200,20 @@ def fit_gp_hyperparameters(
     polish_iters: int = 10,
     fit_dtype=None,
     screen_points: Optional[int] = 64,
+    polish_points: Optional[int] = 128,
 ) -> FitResult:
     """Fit RBF+white GP hyperparameters for every row of Y at once.
 
-    Two jitted phases with a host-side winner selection in between —
-    screening (vmapped Adam over all mode x restart starts) and polish
-    (damped Newton from each mode's best) — kept as separate XLA programs
-    (the fused argmin+gather+polish graph trips an XLA:TPU memory-space
-    assignment bug).
+    Four phases, all on the accelerator in ``fit_dtype`` — screening
+    (vmapped Adam over all mode x restart starts), winner selection
+    (argmin+gather), polish (damped Newton from each mode's best), and a
+    full-data NLML re-rank of the winner/polished pair — kept as separate
+    XLA programs (the fused argmin+gather+polish graph trips an XLA:TPU
+    memory-space assignment bug). The function performs NO device->host
+    synchronization: on a tunneled accelerator every readback costs
+    ~30-40 ms of round-trip latency (measured round 3; the previous
+    host-verified flow spent ~0.9 s on ~8 ms of actual compute), so the
+    result arrays stay on device until the caller consumes them.
 
     Parameters
     ----------
@@ -213,12 +238,18 @@ def fit_gp_hyperparameters(
         per-step Cholesky is O(m^3), so screening at 64 of 200 points is
         ~30x cheaper. Basin SELECTION stays exact: every candidate is then
         re-ranked by its full-data NLML (one batched Cholesky,
-        ``_rank_full``) before the full-data L-BFGS polish. None disables
+        ``_rank_full``) before the Newton polish. None disables
         subsampling.
+    polish_points : optional int
+        Same strided-subsample cap for the Newton polish (its Hessian
+        evaluations are also O(m^3) per iteration). None polishes on the
+        full data. Either way the final winner-vs-polish selection is a
+        full-data f64 NLML comparison.
 
     Returns
     -------
-    FitResult with (r,)-shaped float64 fields.
+    FitResult with (r,)-shaped fields in the default float width, still
+    resident on the fitting device (no sync has happened).
     """
     import numpy as np
 
@@ -248,54 +279,50 @@ def fit_gp_hyperparameters(
     if subsampled:
         # Re-rank every candidate by the FULL-data NLML.
         v_scr = _rank_full(Ts, Ys, box_s, z_scr)
-    best = np.asarray(jnp.argmin(v_scr, axis=1))  # host-side winner select
-    z_best = z_scr[jnp.arange(r), best]
-    v_best = v_scr[jnp.arange(r), best]
+    z_best = _select_winner(v_scr, z_scr)  # on-device argmin+gather
 
-    # Phase 2 — polish on the host in f64: only r L-BFGS instances, each
-    # line-search evaluation one batched LAPACK Cholesky. (Running the
-    # compiled L-BFGS program on the TPU instead crashes the axon worker
-    # — same bug family as the fused argmin+gather+polish graph — and
-    # f64 there is emulated besides.) The zoom line search makes ~20
-    # evaluations per iteration, so at large m the O(m^3) per-eval cost
-    # is capped by polishing on a strided subsample (same trick as the
-    # screening phase; ~900 s -> ~30 s at r=30, m=512). The WINNER
-    # SELECTION below stays exact either way: both candidates are
-    # re-evaluated with the full-data f64 NLML.
-    f64 = jnp.float64
-    box64 = BoxTransform(box.lo.astype(f64), box.hi.astype(f64))
-    polish_points = 128
-    if m > polish_points:
+    # Phase 2 — damped-Newton polish (``_newton_polish``) on the
+    # accelerator in fit_dtype: r instances, each iteration one 3x3
+    # Hessian via autodiff plus three damped-candidate NLML evaluations.
+    # The per-eval Cholesky is O(m^3), so the polish descends on a strided
+    # subsample above ``polish_points``. If the device polish fails to
+    # compile/run (axon toolchain regressions have eaten richer graphs
+    # than this), fall back to the host f64 polish program.
+    if polish_points is not None and m > polish_points:
         pidx = jnp.asarray(
             np.unique(
                 np.linspace(0, m - 1, polish_points).round().astype(int)
             )
         )
-        T_pol, Y_pol = T[:, pidx], Y[:, pidx]
+        T_pol, Y_pol = Ts[:, pidx], Ys[:, pidx]
     else:
-        T_pol, Y_pol = T, Y
-    z_pol, _ = _polish_all_host(
-        T_pol.astype(f64), Y_pol.astype(f64), box64, z_best.astype(f64),
-        polish_iters,
-    )
+        T_pol, Y_pol = Ts, Ys
+    try:
+        z_pol, _ = _polish_all(T_pol, Y_pol, box_s, z_best, polish_iters)
+    except Exception:  # pragma: no cover - axon toolchain fallback
+        f64 = jnp.float64
+        box64 = BoxTransform(box.lo.astype(f64), box.hi.astype(f64))
+        z_pol_h, _ = _polish_all_host(
+            jnp.asarray(np.asarray(T_pol), f64),
+            jnp.asarray(np.asarray(Y_pol), f64),
+            box64,
+            jnp.asarray(np.asarray(z_best, np.float64)),
+            polish_iters,
+        )
+        z_pol = jnp.asarray(np.asarray(z_pol_h), fit_dtype)
 
-    # Full-data f64 NLML for both candidates (2r evaluations, host LAPACK).
-    pair = jnp.stack(
-        [jnp.asarray(np.asarray(z_best, np.float64)),
-         jnp.asarray(np.asarray(z_pol, np.float64))],
-        axis=1,
-    )  # (r, 2, 3)
-    v_pair = np.asarray(
-        _rank_full_host(T.astype(f64), Y.astype(f64), box64, pair)
-    )
-    # Selection math happens in NumPy on host copies: screening outputs may
-    # be committed to an accelerator (or sharded over a mesh) while the
-    # polish is host-committed, and the r x 3 arithmetic is trivial.
-    z_pair_h = np.asarray(pair)
-    pick = np.argmin(v_pair, axis=1)
-    z_fin = jnp.asarray(z_pair_h[np.arange(r), pick])
-    v_fin = jnp.asarray(v_pair[np.arange(r), pick])
+    # Phase 3 — full-data re-rank of the (screen winner, polished) pair:
+    # one batched Cholesky per candidate, the exact same program as the
+    # subsample re-rank. The selection stays FULL-DATA exact; it runs in
+    # fit_dtype on the same device as everything else, so the fit stays
+    # sync-free (the reference's own backends agree only to rtol=1e-1,
+    # ``ODEs/main.py:155`` — an f32 tie between two near-identical optima
+    # is far below that tolerance).
+    pair = jnp.stack([z_best, z_pol], axis=1)  # (r, 2, 3)
+    v_pair = _rank_full(Ts, Ys, box_s, pair)
+    z_fin = _select_winner(v_pair, pair)
+    v_fin = jnp.min(v_pair, axis=1)
 
-    log_params = jax.vmap(box64.to_log_params)(z_fin)
-    params = jnp.exp(log_params)
+    log_params = _finalize(box_s, z_fin)
+    params = jnp.exp(log_params).astype(jnp.result_type(float))
     return FitResult(params[:, 0], params[:, 1], params[:, 2], v_fin)

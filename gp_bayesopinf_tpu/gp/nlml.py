@@ -22,8 +22,22 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.chol import unrolled_cho_solve, unrolled_cholesky
 
-def nlml(log_params: jnp.ndarray, t: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+# Problems at or below this size use the unrolled Cholesky/solves on TPU
+# backends: XLA's batched Cholesky custom call is latency-bound for small
+# matrices (the 606-instance (64, 64) screening factorization measured
+# 606 ms/flagship fit, ~9 GFLOP/s, round 3) while the unrolled
+# straight-line graph runs as wide VPU ops over the vmapped batch.
+UNROLL_MAX = 96
+
+
+def nlml(
+    log_params: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    method: str = "auto",
+) -> jnp.ndarray:
     """Negative log marginal likelihood of the RBF+white GP.
 
     Parameters
@@ -32,6 +46,8 @@ def nlml(log_params: jnp.ndarray, t: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray
         (log sigma2, log ell, log chi).
     t : (m,) array of training times.
     y : (m,) array of training targets.
+    method : "auto" (unrolled factorization for m <= UNROLL_MAX on TPU,
+        XLA custom call otherwise), "chol", or "unrolled".
 
     Returns
     -------
@@ -44,8 +60,18 @@ def nlml(log_params: jnp.ndarray, t: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray
     K = sigma2 * jnp.exp(-(diff * diff) / (2.0 * ell * ell))
     K = K + chi * jnp.eye(m, dtype=K.dtype)
 
-    L = jnp.linalg.cholesky(K)
-    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    if method == "auto":
+        method = (
+            "unrolled"
+            if m <= UNROLL_MAX and jax.default_backend() == "tpu"
+            else "chol"
+        )
+    if method == "unrolled":
+        L = unrolled_cholesky(K)
+        alpha = unrolled_cho_solve(L, y)
+    else:
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     val = 0.5 * (y @ alpha) + 0.5 * logdet + 0.5 * m * jnp.log(2.0 * jnp.pi)
     return jnp.where(jnp.isfinite(val), val, jnp.inf)

@@ -21,6 +21,71 @@ def cho_solve_psd(K: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve((L, True), b)
 
 
+# ---- unrolled small-matrix routines ---------------------------------------
+# XLA's batched Cholesky/triangular-solve custom calls are latency-bound on
+# TPU for small matrices (sequential column loops of tiny dynamic-sliced
+# ops): the fit's Adam screen spent 606 ms/flagship-call in a batched
+# (606, 64, 64) factorization (measured round 3, ~9 GFLOP/s). These
+# unrolled variants emit a STATIC straight-line graph of full-matrix
+# vector ops — under ``vmap`` every step is one wide VPU op over the whole
+# batch, and plain JAX autodiff differentiates them with no custom-call
+# rules. Use for static n <= ~128; the graph has O(n) ops of O(n^2) work.
+
+
+def unrolled_cholesky(A: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky factor of a small SPD matrix, fully unrolled.
+
+    ``A`` is (n, n) with n static and modest (<= ~128). Batch with
+    ``vmap``. Non-SPD inputs surface as NaNs in the factor (masked by
+    callers), matching ``jnp.linalg.cholesky`` semantics.
+
+    Each unrolled step slices down to the TRAILING submatrix (static
+    shape per step), so total memory traffic is the n^3/3 of the actual
+    factorization — a first full-matrix-update version was 3x the traffic
+    and measurably slower than the XLA custom call at the flagship batch.
+    """
+    n = A.shape[-1]
+    cols = []
+    for j in range(n):
+        d = jnp.sqrt(A[0, 0])
+        col = A[:, 0] / d  # (n - j,), col[0] == d
+        cols.append(jnp.pad(col, (j, 0)))
+        if j < n - 1:
+            tail = col[1:]
+            A = A[1:, 1:] - tail[:, None] * tail[None, :]
+    return jnp.stack(cols, axis=1)
+
+
+def unrolled_solve_lower(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L x = b (lower triangular, small static n), unrolled."""
+    n = L.shape[-1]
+    idx = jnp.arange(n)
+    x = b
+    for j in range(n):
+        xj = x[j] / L[j, j]
+        # Eliminate column j from the remaining rows; keep x[j] = xj.
+        x = jnp.where(idx > j, x - xj * L[:, j], x)
+        x = x.at[j].set(xj)
+    return x
+
+
+def unrolled_solve_upper_t(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = b (L lower triangular, small static n), unrolled."""
+    n = L.shape[-1]
+    idx = jnp.arange(n)
+    x = b
+    for j in reversed(range(n)):
+        xj = x[j] / L[j, j]
+        x = jnp.where(idx < j, x - xj * L[j, :], x)
+        x = x.at[j].set(xj)
+    return x
+
+
+def unrolled_cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b from the unrolled factor."""
+    return unrolled_solve_upper_t(L, unrolled_solve_lower(L, b))
+
+
 def solve_psd(K: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve K X = B via Cholesky, also returning the factor for reuse."""
     L = jnp.linalg.cholesky(K)

@@ -210,6 +210,9 @@ def run_heat_multi(
             grid=config.reg_grid,
             ndraws=20,
             verbose=verbose,
+            # PDEsMulti aborts on refinement failure where PDEs falls back
+            # to the grid best (``PDEsMulti/step3_estimate.py:207``).
+            refine_failure="raise",
         )
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianROM(rom, posterior, res.regularizer)

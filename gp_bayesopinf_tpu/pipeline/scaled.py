@@ -108,6 +108,7 @@ def run_scaled(
     modelform: str = "cA",
     verbose: bool = False,
     checkpoint_dir: Optional[str] = None,
+    envelope_floor: float = 0.02,
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -115,6 +116,12 @@ def run_scaled(
     With ``checkpoint_dir``, the expensive front half (data generation,
     sharded POD, GP fit) checkpoints its outputs and a rerun resumes from
     them (``io.checkpoint``, orbax-backed).
+
+    ``envelope_floor`` relaxes the reference's strict per-variable
+    5x-amplitude stability rule by flooring each mode's envelope at this
+    fraction of the largest mode's envelope (trailing POD modes smoothed
+    to near-flat otherwise reject every draw); pass 0.0 for the strict
+    reference semantics (``PDEs/step3_estimate.py:64-73``).
     """
     import os
 
@@ -200,11 +207,11 @@ def run_scaled(
 
         box = BoxTransform.from_bounds((1e-5, 1e5), (1e-3, 1e2), (1e-10, 1e2))
         with tb("scaled: GP fit"):
-            fit = fit_gp_hyperparameters(
-            jnp.asarray(ts), Y, box, jax.random.fold_in(k_fit, 1),
             # Restarts are one vmapped batch on the accelerator —
             # effectively free. 8 restarts left ~10% of modes in the
             # 'all-noise' NLML local optimum at production scale.
+            fit = fit_gp_hyperparameters(
+                jnp.asarray(ts), Y, box, jax.random.fold_in(k_fit, 1),
                 n_restarts=n_restarts, adam_steps=150, polish_iters=30,
             )
         sigma2, ell, chi = fit.sigma2, fit.ell, fit.chi
@@ -291,12 +298,14 @@ def run_scaled(
     t_est32 = jnp.asarray(t_est, f32)
     shift = jnp.mean(states_est, axis=1)
     limits = 5.0 * jnp.max(jnp.abs(states_est - shift[:, None]), axis=1)
-    # Floor the per-mode envelope at 2% of the global mode scale: trailing
-    # POD modes whose GP estimate is (correctly) smoothed to near-flat
-    # would otherwise have a ~zero envelope that rejects EVERY posterior
-    # draw. The reference's per-variable 5x rule (PDEs/step3_estimate.py)
-    # never meets this because its r <= 8 modes all carry signal.
-    limits = jnp.maximum(limits, 0.02 * jnp.max(limits))
+    # Floor the per-mode envelope at envelope_floor x the global mode
+    # scale: trailing POD modes whose GP estimate is (correctly) smoothed
+    # to near-flat would otherwise have a ~zero envelope that rejects
+    # EVERY posterior draw. The reference's per-variable 5x rule
+    # (PDEs/step3_estimate.py) never meets this because its r <= 8 modes
+    # all carry signal; envelope_floor=0 restores the strict semantics.
+    if envelope_floor:
+        limits = jnp.maximum(limits, envelope_floor * jnp.max(limits))
     q0 = states_est[:, 0]
     grid = np.logspace(-12, 6, grid_size)
     grid32 = jnp.asarray(grid, f32)

@@ -88,6 +88,51 @@ class WeightedLSTSQ(NamedTuple):
         b = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
         return jnp.linalg.solve(A, b[..., None])[..., 0]
 
+    def solve_tikhonov_matrix(self, Gamma: jnp.ndarray) -> jnp.ndarray:
+        """Posterior mean with a full-matrix Tikhonov regularizer.
+
+        Gamma : (d, d) shared across rows, or (r, d, d) per row — the
+        general ``opinf.lstsq.TikhonovSolver`` regularizer surface
+        (reference ``codebase/wlstsq.py:179-181``; the per-row form is the
+        ``WeightedLSTSQSolverMulti`` capability, ``wlstsq.py:215-304``,
+        without replicating its ``__init__`` recursion bug).
+
+        Solves the normal equations
+        (D~^T D~ + Gamma^T Gamma) o = D~^T z~ per row, batched.
+        """
+        Gamma = jnp.asarray(Gamma, dtype=self.S.dtype)
+        r, d = self.num_problems, self.num_unknowns
+        if Gamma.shape == (d, d):
+            Gamma = jnp.broadcast_to(Gamma[None], (r, d, d))
+        elif Gamma.shape != (r, d, d):
+            raise ValueError(
+                f"Gamma shape {Gamma.shape} is neither {(d, d)} nor "
+                f"{(r, d, d)}"
+            )
+        DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
+        A = DtD + jnp.einsum("rki,rkj->rij", Gamma, Gamma)
+        b = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
+        return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+    def posterior_tikhonov(self, Gamma: jnp.ndarray):
+        """(means, precisions) under a general Tikhonov regularizer.
+
+        The Bayesian precision generalizes the reference's per-row
+        ``(sqrtW D)^T (sqrtW D) + reg^2 I`` assembly
+        (``PDEs/step3_estimate.py:84-89``) with Gamma^T Gamma in place of
+        the scalar ridge. Accepts the same shapes as
+        ``solve_tikhonov_matrix``.
+        """
+        Gamma = jnp.asarray(Gamma, dtype=self.S.dtype)
+        r, d = self.num_problems, self.num_unknowns
+        if Gamma.shape == (d, d):
+            Gamma = jnp.broadcast_to(Gamma[None], (r, d, d))
+        DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
+        P = DtD + jnp.einsum("rki,rkj->rij", Gamma, Gamma)
+        b = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
+        means = jnp.linalg.solve(P, b[..., None])[..., 0]
+        return means, P
+
     # ---- posterior covariance spectrum ---------------------------------------
     def precision_eigs(self, lam):
         """Eigenvalues (S^2 + lambda^2) of each row's precision matrix.

@@ -61,6 +61,47 @@ def test_tikhonov_diagonal(problem):
         np.testing.assert_allclose(got[i], expect, rtol=1e-8)
 
 
+def test_tikhonov_full_matrix(problem):
+    """General (non-diagonal) Tikhonov, shared and per-row Gamma.
+
+    The ``opinf.lstsq.TikhonovSolver`` matrix-regularizer surface
+    (reference ``codebase/wlstsq.py:179-181``) and the per-row
+    ``WeightedLSTSQSolverMulti`` capability (``wlstsq.py:215-304``).
+    """
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs))
+    r, d = sqrtW.shape[0], D.shape[-1]
+    rng = np.random.default_rng(7)
+
+    def oracle(i, G):
+        Dt = np.vstack([sqrtW[i, b] @ D[b] for b in range(D.shape[0])])
+        zt = np.concatenate([sqrtW[i, b] @ rhs[i, b] for b in range(D.shape[0])])
+        P = Dt.T @ Dt + G.T @ G
+        return np.linalg.solve(P, Dt.T @ zt), P
+
+    # Shared full-matrix Gamma (non-diagonal, well-conditioned).
+    G = rng.standard_normal((d, d)) * 0.3 + np.eye(d)
+    got = np.asarray(fac.solve_tikhonov_matrix(jnp.asarray(G)))
+    means, precs = fac.posterior_tikhonov(jnp.asarray(G))
+    for i in range(r):
+        expect, P = oracle(i, G)
+        np.testing.assert_allclose(got[i], expect, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(means)[i], expect, rtol=1e-8,
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(precs)[i], P, rtol=1e-8,
+                                   atol=1e-8)
+
+    # Per-row Gamma_i (the WeightedLSTSQSolverMulti capability).
+    Gs = rng.standard_normal((r, d, d)) * 0.3 + np.eye(d)
+    got = np.asarray(fac.solve_tikhonov_matrix(jnp.asarray(Gs)))
+    for i in range(r):
+        expect, _ = oracle(i, Gs[i])
+        np.testing.assert_allclose(got[i], expect, rtol=1e-8, atol=1e-10)
+
+    with pytest.raises(ValueError):
+        fac.solve_tikhonov_matrix(jnp.ones((d + 1, d)))
+
+
 def test_sampling_moments(problem):
     """Posterior samples must match the analytic mean/covariance."""
     D, sqrtW, rhs = problem
