@@ -120,14 +120,24 @@ def _make_kernel_objective(
     snapshots_est: jnp.ndarray,
     ndraws: int,
     use_pallas: bool,
+    input_funcs: Optional[Sequence[Callable]] = None,
 ):
-    """Batched grid objective backed by the ensemble-screening megakernel
-    (autonomous "cAH" ROMs). Semantically identical to ``_make_objective``
-    vmapped over candidates, but all draw states stay in VMEM and
-    trajectories are never materialized."""
+    """Batched grid objective backed by the ensemble-screening megakernels.
+    Semantically identical to ``_make_objective`` vmapped over candidates,
+    but all draw states stay in VMEM and trajectories are never
+    materialized. Two kernel families:
+
+    * autonomous "cAH" -> fused RK4 screen (``quadratic_ensemble_screen``);
+    * "cAHBN" with ``input_funcs`` -> fused implicit SDIRK2+Newton screen
+      (``cahbn_ensemble_screen``), inputs pre-evaluated at every
+      integrator abscissa (the heat-multi pipeline's dominant stage).
+    """
     import jax
 
     from ..ops.ensemble_pallas import (
+        _input_stage_times,
+        cahbn_ensemble_screen,
+        cahbn_ensemble_screen_xla,
         quadratic_ensemble_screen,
         quadratic_ensemble_screen_xla,
     )
@@ -138,9 +148,58 @@ def _make_kernel_objective(
     limits = 5.0 * jnp.max(jnp.abs(snapshots_est - shifts[:, :, None]), axis=2)
     norms = jnp.sqrt(jnp.sum(snapshots_est**2, axis=(1, 2))).astype(jnp.float32)
 
-    screen = (
-        quadratic_ensemble_screen if use_pallas else quadratic_ensemble_screen_xla
-    )
+    if rom.structure == "cAH":
+        screen = (
+            quadratic_ensemble_screen
+            if use_pallas
+            else quadratic_ensemble_screen_xla
+        )
+
+        def screen_pred(ohats, ell):
+            return screen(
+                ohats, initial_conditions[ell], t_pred,
+                shifts[ell], limits[ell],
+                nd=ndraws, substeps=rom.substeps, track_error=False,
+            )
+
+        def screen_est(ohats, ell):
+            return screen(
+                ohats, initial_conditions[ell], t_est,
+                shifts[ell], limits[ell], snapshots_est[ell],
+                nd=ndraws, substeps=rom.substeps,
+            )
+    else:  # "cAHBN": implicit SDIRK2 kernel with pre-evaluated inputs.
+        iscreen = (
+            cahbn_ensemble_screen if use_pallas else cahbn_ensemble_screen_xla
+        )
+
+        def _u_table(f, ts):
+            # Input functions follow the ``rom.data_matrix`` convention
+            # u(times) -> (nu, n); the kernels take (n, nu).
+            return jnp.atleast_2d(jnp.asarray(f(ts))).T
+
+        u_pred = [
+            _u_table(f, _input_stage_times(t_pred, rom.substeps))
+            for f in input_funcs
+        ]
+        u_est = [
+            _u_table(f, _input_stage_times(t_est, rom.substeps))
+            for f in input_funcs
+        ]
+
+        def screen_pred(ohats, ell):
+            return iscreen(
+                ohats, initial_conditions[ell], t_pred,
+                shifts[ell], limits[ell], u_pred[ell],
+                nd=ndraws, substeps=rom.substeps, track_error=False,
+            )
+
+        def screen_est(ohats, ell):
+            return iscreen(
+                ohats, initial_conditions[ell], t_est,
+                shifts[ell], limits[ell], u_est[ell], snapshots_est[ell],
+                nd=ndraws, substeps=rom.substeps,
+            )
 
     def grid_objective(lams, keys):
         G = lams.shape[0]
@@ -152,16 +211,8 @@ def _make_kernel_objective(
         stable = spd
         err = jnp.zeros(G, dtype=jnp.float32)
         for ell in range(L):
-            st_p, _ = screen(
-                ohats, initial_conditions[ell], t_pred,
-                shifts[ell], limits[ell],
-                nd=ndraws, substeps=rom.substeps, track_error=False,
-            )
-            st_e, err_sq = screen(
-                ohats, initial_conditions[ell], t_est,
-                shifts[ell], limits[ell], snapshots_est[ell],
-                nd=ndraws, substeps=rom.substeps,
-            )
+            st_p, _ = screen_pred(ohats, ell)
+            st_e, err_sq = screen_est(ohats, ell)
             stable = stable & jnp.all(
                 (st_p & st_e).reshape(G, ndraws), axis=1
             )
@@ -191,14 +242,16 @@ def auto_regularize(
     use_kernel: Optional[bool] = None,
     screen_on_host: bool = False,
     refine_failure: str = "fallback",
+    input_funcs: Optional[Sequence[Callable]] = None,
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
     See ``_make_objective`` for the trajectory-batched arguments. For the
     single-trajectory pipelines pass length-1 sequences / leading axes.
 
-    When ``rom`` is an autonomous "cAH" ``GalerkinROM``, the grid phase can
-    run through the Pallas ensemble-screening megakernel (``use_kernel``;
+    When ``rom`` is an autonomous "cAH" ``GalerkinROM`` — or a "cAHBN"
+    one with per-trajectory ``input_funcs`` — the grid phase can run
+    through the Pallas ensemble-screening megakernels (``use_kernel``;
     defaults to True on TPU backends).
 
     ``refine_failure`` selects the reference's divergent semantics when the
@@ -228,15 +281,24 @@ def auto_regularize(
 
     import jax as _jax
 
-    kernel_eligible = (
-        rom is not None
-        and getattr(rom, "structure", None) == "cAH"
-        and getattr(rom, "input_dimension", 0) == 0
+    kernel_eligible = rom is not None and (
+        (
+            getattr(rom, "structure", None) == "cAH"
+            and getattr(rom, "input_dimension", 0) == 0
+        )
+        or (
+            getattr(rom, "structure", None) == "cAHBN"
+            and input_funcs is not None
+            and getattr(rom, "ivp_method", None) == "dirk2"
+        )
     )
     if use_kernel is None:
         use_kernel = kernel_eligible and _jax.default_backend() == "tpu"
     elif use_kernel and not kernel_eligible:
-        raise ValueError("use_kernel requires an autonomous 'cAH' GalerkinROM")
+        raise ValueError(
+            "use_kernel requires an autonomous 'cAH' GalerkinROM or a "
+            "'cAHBN' dirk2 GalerkinROM with input_funcs"
+        )
 
     if use_kernel:
         import os as _os
@@ -258,6 +320,7 @@ def auto_regularize(
                 snapshots_est,
                 ndraws,
                 use_pallas=use_pallas,
+                input_funcs=input_funcs,
             )
 
         _obj = {

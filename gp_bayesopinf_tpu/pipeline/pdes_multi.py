@@ -213,6 +213,11 @@ def run_heat_multi(
             # PDEsMulti aborts on refinement failure where PDEs falls back
             # to the grid best (``PDEsMulti/step3_estimate.py:207``).
             refine_failure="raise",
+            # TPU backends screen through the implicit-SDIRK cAHBN
+            # megakernel (inputs pre-evaluated at the integrator
+            # abscissae); other backends keep the generic vmapped path.
+            rom=rom,
+            input_funcs=input_funcs,
         )
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianROM(rom, posterior, res.regularizer)

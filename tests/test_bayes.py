@@ -168,3 +168,71 @@ def test_auto_regularize_kernel_path_matches(linear_problem):
         np.testing.assert_allclose(
             res_gen.grid_errors[ok], res_ker.grid_errors[ok], rtol=2e-2, atol=1e-4
         )
+
+
+def test_auto_regularize_cahbn_kernel_path_matches(rng):
+    """The implicit-SDIRK cAHBN kernel objective matches the generic
+    dirk2 objective's stability decisions and errors (heat-multi path)."""
+    from gp_bayesopinf_tpu.solve import weighted_lstsq_fit
+
+    r, nu, k = 3, 2, 25
+    rom = GalerkinROM(
+        "cAHBN", state_dimension=r, input_dimension=nu,
+        ivp_method="dirk2", substeps=2,
+    )
+    t = np.linspace(0, 1.2, k)
+
+    def input_func(tt):
+        return jnp.stack(
+            [jnp.sin(2 * jnp.pi * tt), 0.5 * jnp.cos(4 * jnp.pi * tt)]
+        )
+
+    A_true = np.diag([-0.8, -1.4, -2.2])
+    B_true = 0.3 * rng.standard_normal((r, nu))
+    U = np.asarray(input_func(jnp.asarray(t)))  # (nu, k)
+
+    # Synthesize snapshots from the true linear-with-input dynamics.
+    Q = np.zeros((r, k))
+    Q[:, 0] = 0.2 * rng.standard_normal(r)
+    for i in range(1, k):
+        h = t[i] - t[i - 1]
+        Q[:, i] = Q[:, i - 1] + h * (A_true @ Q[:, i - 1] + B_true @ U[:, i - 1])
+
+    D = rom.data_matrix(jnp.asarray(Q), jnp.asarray(U))[None]
+    sqrtW = jnp.asarray(np.broadcast_to(25.0 * np.eye(k), (r, 1, k, k)).copy())
+    rhs = jnp.asarray((A_true @ Q + B_true @ U)[:, None, :])
+    fac = weighted_lstsq_fit(D, sqrtW, rhs)
+
+    input_funcs = [input_func]
+    kw = dict(
+        initial_conditions=jnp.asarray(Q[:, 0])[None],
+        t_pred=jnp.asarray(t),
+        t_est=jnp.asarray(t),
+        snapshots_est=jnp.asarray(Q)[None],
+        grid=np.logspace(-8, 1, 6),
+        ndraws=6,
+        verbose=False,
+    )
+    predict_fns = [
+        lambda O, q, tt: rom.predict(O, q, tt, input_func=input_func)
+    ]
+    # screen_dtype=f32 matches the kernels' precision contract (the
+    # documented TPU policy); on CPU the generic path would otherwise
+    # integrate in f64 and borderline draws could classify differently.
+    res_gen = auto_regularize(
+        fac, predict_fns, key=jax.random.PRNGKey(7),
+        screen_dtype=jnp.float32, **kw,
+    )
+    res_ker = auto_regularize(
+        fac, predict_fns, key=jax.random.PRNGKey(7),
+        rom=rom, use_kernel=True, input_funcs=input_funcs, **kw,
+    )
+    np.testing.assert_array_equal(
+        res_gen.grid_errors >= 1e12, res_ker.grid_errors >= 1e12
+    )
+    ok = res_gen.grid_errors < 1e12
+    if ok.any():
+        np.testing.assert_allclose(
+            res_gen.grid_errors[ok], res_ker.grid_errors[ok],
+            rtol=2e-2, atol=1e-4,
+        )
