@@ -109,6 +109,7 @@ def run_scaled(
     verbose: bool = False,
     checkpoint_dir: Optional[str] = None,
     envelope_floor: float = 0.02,
+    weight_method: str = "auto",
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -122,6 +123,13 @@ def run_scaled(
     fraction of the largest mode's envelope (trailing POD modes smoothed
     to near-flat otherwise reject every draw); pass 0.0 for the strict
     reference semantics (``PDEs/step3_estimate.py:64-73``).
+
+    ``weight_method`` selects the weight-root factorization (SURVEY §2e):
+    "chol" = dense host Cholesky of C + eta I per mode (O(r m'^3));
+    "lowrank" = rank-adaptive pivoted-Cholesky + Woodbury root
+    (``gp.lowrank``, O(r m' p^2) — the m'-scaling path); "auto" picks
+    lowrank at m' >= 1024. Lowrank falls back to the dense eigh root for
+    any mode whose covariance is not numerically low rank.
     """
     import os
 
@@ -232,20 +240,45 @@ def run_scaled(
     t_est = np.linspace(0.0, 1.0, num_regression_points)
     ts64 = jnp.asarray(ts, f64)
     t_est64 = jnp.asarray(t_est, f64)
-    with tb("scaled: GP estimation (host f64)"):
-        ests = host_jit(
-            jax.vmap(
-                lambda y, s2, l, c: gp_estimates(
-                    ts64, y, t_est64, s2, l, c, eta=1e-8, method="chol"
-                )
-            )
-        )(
-            jnp.asarray(Y, f64),
-            jnp.asarray(sigma2, f64),
-            jnp.asarray(ell, f64),
-            jnp.asarray(chi, f64),
+    if weight_method == "auto":
+        weight_method = (
+            "lowrank" if num_regression_points >= 1024 else "chol"
         )
-        ests.state_estimate.block_until_ready()
+    if weight_method == "lowrank":
+        # Rank-adaptive factored roots (gp/lowrank.py): O(m' p^2) per
+        # mode instead of O(m'^3); pure NumPy f64 on the host.
+        from ..gp.lowrank import lowrank_gp_estimates
+
+        with tb("scaled: GP estimation (lowrank host f64)"):
+            Y_np = np.asarray(jax.device_get(Y), np.float64)
+            hyp_np = [
+                np.asarray(jax.device_get(x), np.float64)
+                for x in (sigma2, ell, chi)
+            ]
+            ests_lr = [
+                lowrank_gp_estimates(
+                    ts, Y_np[i], t_est, hyp_np[0][i], hyp_np[1][i],
+                    hyp_np[2][i], eta=1e-8,
+                )
+                for i in range(num_modes)
+            ]
+            state_est_np = np.stack([e.state_estimate for e in ests_lr])
+            ddt_est_np = np.stack([e.ddt_estimate for e in ests_lr])
+    else:
+        with tb("scaled: GP estimation (host f64)"):
+            ests = host_jit(
+                jax.vmap(
+                    lambda y, s2, l, c: gp_estimates(
+                        ts64, y, t_est64, s2, l, c, eta=1e-8, method="chol"
+                    )
+                )
+            )(
+                jnp.asarray(Y, f64),
+                jnp.asarray(sigma2, f64),
+                jnp.asarray(ell, f64),
+                jnp.asarray(chi, f64),
+            )
+            ests.state_estimate.block_until_ready()
 
     # --- regression: host-f64 weighting + mesh-sharded f32 factorization -----
     # The weighted factorization shards the m' rows over "draw" and the r
@@ -259,7 +292,11 @@ def run_scaled(
     # answer, but a vacuous demo. "cAH" runs the same code with d ~ r^2/2
     # unknowns (exercised in tests).
     rom = GalerkinROM(modelform, state_dimension=num_modes, substeps=2)
-    D = rom.data_matrix(ests.state_estimate)  # (m', d) f64 host
+    if weight_method == "lowrank":
+        state_estimate = jnp.asarray(state_est_np)
+    else:
+        state_estimate = ests.state_estimate
+    D = rom.data_matrix(state_estimate)  # (m', d) f64 host
     if num_regression_points < D.shape[1]:
         raise ValueError(
             f"underdetermined regression: num_regression_points="
@@ -267,17 +304,37 @@ def run_scaled(
             "num_regression_points (the m'-sharded factorization scales it)"
         )
 
-    def _weight(L, Dmat, z):
-        Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
-        Dw = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
-        zw = jax.scipy.linalg.solve_triangular(L, z[..., None], lower=True)
-        return Dw, zw[..., 0]
+    if weight_method == "lowrank":
+        # Factored symmetric roots applied per mode: two thin matmuls
+        # each, O(r m' p d) — the dense (m' x m') root never exists.
+        with tb("scaled: weighting (lowrank host f64)"):
+            D_np = np.asarray(D, np.float64)
+            Dw = jnp.asarray(
+                np.stack([e.root.apply(D_np) for e in ests_lr])
+            )
+            zw = jnp.asarray(
+                np.stack(
+                    [
+                        e.root.apply(ddt_est_np[i])
+                        for i, e in enumerate(ests_lr)
+                    ]
+                )
+            )
+    else:
 
-    with tb("scaled: weighting (host f64)"):
-        Dw, zw = host_jit(_weight)(
-            ests.weight_root, D, ests.ddt_estimate
-        )  # (r, m', d), (r, m') f64 host
-        Dw.block_until_ready()
+        def _weight(L, Dmat, z):
+            Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
+            Dw = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
+            zw = jax.scipy.linalg.solve_triangular(
+                L, z[..., None], lower=True
+            )
+            return Dw, zw[..., 0]
+
+        with tb("scaled: weighting (host f64)"):
+            Dw, zw = host_jit(_weight)(
+                ests.weight_root, D, ests.ddt_estimate
+            )  # (r, m', d), (r, m') f64 host
+            Dw.block_until_ready()
 
     with tb("scaled: TSQR factorization (sharded)"):
         U, S, V = tall_skinny_svd(
@@ -292,7 +349,7 @@ def run_scaled(
 
     # --- draw-sharded screening (all-f32 on the mesh) -------------------------
     states_est = jax.device_put(
-        jnp.asarray(ests.state_estimate, f32),
+        jnp.asarray(state_estimate, f32),
         NamedSharding(mesh, P("mode", None)),
     )
     t_est32 = jnp.asarray(t_est, f32)
