@@ -94,6 +94,44 @@ def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
     return states + noise
 
 
+def _euler_states(
+    key, n: int, k: int, noiselevel: float = 0.002, dtype=jnp.float32
+):
+    """Physical snapshots: the reference's Euler FOM scaled up.
+
+    n = 3 * nx lifted DOF ([v, p, 1/rho] on an nx-cell periodic grid;
+    n = 6000 -> nx = 2000, ten times the reference flagship's 200 cells,
+    ``PDEs/config_euler.py:43-96``), k output snapshots over the
+    reference's t in [0, 0.15] (mapped onto the pipeline's unit time
+    axis — a constant rate factor the learned operators absorb). The FOM
+    integrates in f64 on the host CPU device (CFL-resolved upwind RK4,
+    ``models/euler.py``); each lifted variable block is scaled to O(1)
+    by its max magnitude — the reference's scaled-POD semantics
+    (``PDEs/step2_fitgps.py`` MinMax scaling) — so POD treats v ~ 1e2,
+    p ~ 1e5, and 1/rho ~ 5e-2 democratically. Multiplicative noise at
+    ``noiselevel`` mirrors the reference's snapshot corruption.
+    """
+    from ..models.euler import Euler
+
+    if n % 3:
+        raise ValueError("euler data source needs n_space divisible by 3")
+    nx = n // 3
+    model = Euler(spatial_domain=np.linspace(0.0, 2.0, nx + 1)[:-1])
+    ics = model.initial_conditions((22.0, 20.0, 24.0, 95.0, 105.0, 100.0))
+    t_phys = np.linspace(0.0, 0.15, k)
+    with jax.default_device(jax.devices("cpu")[0]):
+        sol = model.solve(jnp.asarray(np.asarray(ics), jnp.float64), t_phys)
+        sol = np.asarray(sol)
+    blocks = np.split(sol, 3, axis=0)
+    scaled = np.concatenate(
+        [b / np.max(np.abs(b)) for b in blocks], axis=0
+    )
+    noise = noiselevel * np.asarray(
+        jax.random.normal(key, scaled.shape, jnp.float32)
+    )
+    return jnp.asarray(scaled * (1.0 + noise), dtype)
+
+
 def run_scaled(
     mesh: Optional[Mesh] = None,
     n_space: int = 6000,
@@ -110,6 +148,7 @@ def run_scaled(
     checkpoint_dir: Optional[str] = None,
     envelope_floor: float = 0.02,
     weight_method: str = "auto",
+    data_source: str = "synthetic",
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -130,6 +169,11 @@ def run_scaled(
     (``gp.lowrank``, O(r m' p^2) — the m'-scaling path); "auto" picks
     lowrank at m' >= 1024. Lowrank falls back to the dense eigh root for
     any mode whose covariance is not numerically low rank.
+
+    ``data_source``: "synthetic" = rank-r damped-rotation snapshots
+    (``_synthetic_states``); "euler" = the reference's Euler FOM scaled
+    to n_space = 3 * nx lifted DOF (``_euler_states``) — the physical
+    quadratic-dynamics variant of the north-star run.
     """
     import os
 
@@ -163,7 +207,8 @@ def run_scaled(
     resumed = None
     if ckpt_path and os.path.isdir(ckpt_path):
         state, meta = load_checkpoint(ckpt_path)
-        if meta.get("shape") == [n_space, n_snapshots, num_modes, seed]:
+        if meta.get("shape") == [n_space, n_snapshots, num_modes, seed,
+                                 data_source]:
             resumed = state
 
     t_all = np.linspace(0.0, 1.0, n_snapshots)
@@ -195,7 +240,13 @@ def run_scaled(
         # the host in f64 inside randomized_pod.
         space_axes = tuple(mesh.axis_names)
         with tb("scaled: data generation"):
-            states = _synthetic_states(k_data, n_space, n_snapshots, num_modes)
+            states = (
+                _euler_states(k_data, n_space, n_snapshots)
+                if data_source == "euler"
+                else _synthetic_states(
+                    k_data, n_space, n_snapshots, num_modes
+                )
+            )
             states.block_until_ready()
         centered = states - jnp.mean(states, axis=1, keepdims=True)
         basis, svdvals = randomized_pod(
@@ -229,7 +280,11 @@ def run_scaled(
                 pipeline_stage_state(
                     Y=Y, svdvals=svdvals, sigma2=sigma2, ell=ell, chi=chi
                 ),
-                metadata={"shape": [n_space, n_snapshots, num_modes, seed]},
+                metadata={
+                    "shape": [
+                        n_space, n_snapshots, num_modes, seed, data_source
+                    ]
+                },
             )
 
     # --- GP estimation: true-f64 factorizations on the host ------------------
