@@ -95,15 +95,28 @@ def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
 
 
 def _euler_states(
-    key, n: int, k: int, noiselevel: float = 0.002, dtype=jnp.float32
+    key,
+    n: int,
+    k: int,
+    noiselevel: float = 0.002,
+    t_final: float = 0.06,
+    dtype=jnp.float32,
 ):
     """Physical snapshots: the reference's Euler FOM scaled up.
 
     n = 3 * nx lifted DOF ([v, p, 1/rho] on an nx-cell periodic grid;
     n = 6000 -> nx = 2000, ten times the reference flagship's 200 cells,
     ``PDEs/config_euler.py:43-96``), k output snapshots over the
-    reference's t in [0, 0.15] (mapped onto the pipeline's unit time
-    axis — a constant rate factor the learned operators absorb). The FOM
+    reference's TRAINING span t in [0, ``t_final``] = [0, 0.06] by
+    default (mapped onto the pipeline's unit time axis — a constant rate
+    factor the learned operators absorb). The span matters physically:
+    over [0, 0.06] the waves are smooth and the quadratic "cAH" closure
+    is learnable (2.8% train error at r=8 mid-size); by t ~ 0.15 they
+    steepen toward shocks and NO regularizer stabilizes an accurate
+    quadratic ROM (round-3 study: every lambda < 4e3 rejected, 135%
+    error at the shrinkage floor). The reference makes exactly this
+    choice — it trains on [0, 0.06] and treats later times as
+    extrapolation (``PDEs/config_euler.py``). The FOM
     integrates in f64 on the host CPU device (CFL-resolved upwind RK4,
     ``models/euler.py``); each lifted variable block is scaled to O(1)
     by its max magnitude — the reference's scaled-POD semantics
@@ -118,7 +131,7 @@ def _euler_states(
     nx = n // 3
     model = Euler(spatial_domain=np.linspace(0.0, 2.0, nx + 1)[:-1])
     ics = model.initial_conditions((22.0, 20.0, 24.0, 95.0, 105.0, 100.0))
-    t_phys = np.linspace(0.0, 0.15, k)
+    t_phys = np.linspace(0.0, t_final, k)
     with jax.default_device(jax.devices("cpu")[0]):
         sol = model.solve(jnp.asarray(np.asarray(ics), jnp.float64), t_phys)
         sol = np.asarray(sol)
