@@ -440,7 +440,9 @@ def run_scaled(
     @jax.jit
     def candidate_errors(keys):
         def one(lam, k):
-            ohats = fac.sample(lam, k, 8)
+            # 20-draw screen: the reference's candidate acceptance count
+            # (PDEs/step3_estimate.py; bayes/regsearch.py default).
+            ohats = fac.sample(lam, k, 20)
             ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
             sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
             stable = jnp.all(stability_mask(sols, shift, limits))
@@ -449,6 +451,15 @@ def run_scaled(
             return jnp.where(stable & jnp.isfinite(err), err, 1e12)
 
         return jax.vmap(one)(grid32, keys)
+
+    def candidate_errors_single(lam_, key):
+        ohats = fac.sample(lam_, key, 20)
+        ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
+        sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
+        stable = jnp.all(stability_mask(sols, shift, limits))
+        err = jnp.linalg.norm(jnp.mean(sols, axis=0) - states_est)
+        err = err / jnp.linalg.norm(states_est)
+        return jnp.where(stable & jnp.isfinite(err), err, 1e12)
 
     with tb("scaled: regularization screening"):
         errs = candidate_errors(jax.random.split(k_draw, grid_size))
@@ -459,7 +470,33 @@ def run_scaled(
             "scaled grid search failed: every candidate unstable "
             "(extend the grid or increase num_regression_points)"
         )
-    lam = grid32[jnp.argmin(errs)]
+    ibest = int(np.argmin(errs_np))
+    lam = grid32[ibest]
+
+    # Bounded refinement between the grid neighbors of the winner — the
+    # main pipelines' semantics (bayes/regsearch.py; reference
+    # PDEs/step3_estimate.py): log-space scalar minimization of the same
+    # 20-draw objective under a frozen key.
+    if 0 < ibest < grid_size - 1:
+        import scipy.optimize
+
+        refine_key = jax.random.fold_in(k_draw, 101)
+        single = jax.jit(
+            lambda lam_: candidate_errors_single(lam_, refine_key)
+        )
+
+        def obj(loglam):
+            return float(single(jnp.asarray(10.0**loglam, f32)))
+
+        with tb("scaled: regularization refinement"):
+            opt = scipy.optimize.minimize_scalar(
+                obj,
+                bounds=(np.log10(grid[ibest - 1]), np.log10(grid[ibest + 1])),
+                method="bounded",
+                options={"maxiter": 20, "xatol": 1e-2},
+            )
+        if np.isfinite(opt.fun) and opt.fun < errs_np[ibest]:
+            lam = jnp.asarray(10.0**opt.x, f32)
 
     @jax.jit
     def final_ensemble(key):
