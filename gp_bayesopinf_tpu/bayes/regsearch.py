@@ -41,6 +41,24 @@ class RegSearchResult(NamedTuple):
     refined: bool  # True if the 1-D optimization succeeded
 
 
+class KernelScreenSpec(NamedTuple):
+    """Kernel-eligibility descriptor for searches without a GalerkinROM.
+
+    A parametric truth model whose right-hand side is itself quadratic
+    (e.g. SEIRD2: posterior draws of its 4 regression parameters define
+    "cAH" operator rows via ``SEIRD2.cah_operators``) can route the grid
+    screen through the fused ensemble kernels by passing this spec as
+    ``rom=`` together with ``operator_map=``; it carries exactly the
+    attributes the kernel objective reads off a ``GalerkinROM``.
+    """
+
+    structure: str  # "cAH" (autonomous) or "cAHBN" (with inputs)
+    state_dimension: int
+    substeps: int = 4
+    input_dimension: int = 0
+    ivp_method: str = "rk4"
+
+
 def _make_objective(
     lstsq: WeightedLSTSQ,
     predict_fns: Sequence[Callable],
@@ -121,6 +139,7 @@ def _make_kernel_objective(
     ndraws: int,
     use_pallas: bool,
     input_funcs: Optional[Sequence[Callable]] = None,
+    operator_map: Optional[Callable] = None,
 ):
     """Batched grid objective backed by the ensemble-screening megakernels.
     Semantically identical to ``_make_objective`` vmapped over candidates,
@@ -204,9 +223,17 @@ def _make_kernel_objective(
     def grid_objective(lams, keys):
         G = lams.shape[0]
         spd = jax.vmap(lstsq.posterior_spd)(lams)
-        ohats = jax.vmap(lambda lam, k: lstsq.sample(lam, k, ndraws))(
+        draws = jax.vmap(lambda lam, k: lstsq.sample(lam, k, ndraws))(
             lams, keys
-        ).reshape(G * ndraws, r, -1)
+        )  # (G, ndraws, rows, cols) — rows may be a parameter row count
+        draws = draws.reshape((G * ndraws,) + draws.shape[2:])
+        # A parametric model's draws are mapped to operator rows here
+        # (e.g. SEIRD2 (1, 4) parameter rows -> (5, 21) "cAH" operators).
+        ohats = (
+            jax.vmap(operator_map)(draws)
+            if operator_map is not None
+            else draws.reshape(G * ndraws, r, -1)
+        )
 
         stable = spd
         err = jnp.zeros(G, dtype=jnp.float32)
@@ -243,6 +270,7 @@ def auto_regularize(
     screen_on_host: bool = False,
     refine_failure: str = "fallback",
     input_funcs: Optional[Sequence[Callable]] = None,
+    operator_map: Optional[Callable] = None,
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
@@ -252,7 +280,11 @@ def auto_regularize(
     When ``rom`` is an autonomous "cAH" ``GalerkinROM`` — or a "cAHBN"
     one with per-trajectory ``input_funcs`` — the grid phase can run
     through the Pallas ensemble-screening megakernels (``use_kernel``;
-    defaults to True on TPU backends).
+    defaults to True on TPU backends). A parametric truth model whose
+    RHS is quadratic can use the same kernels by passing a
+    ``KernelScreenSpec`` as ``rom`` plus an ``operator_map`` that expands
+    each sampled parameter row into "cAH" operator rows (SEIRD2:
+    ``models.seird.SEIRD2.cah_operators``).
 
     ``refine_failure`` selects the reference's divergent semantics when the
     bounded refinement fails: the PDEs pipeline falls back to the grid best
@@ -321,6 +353,7 @@ def auto_regularize(
                 ndraws,
                 use_pallas=use_pallas,
                 input_funcs=input_funcs,
+                operator_map=operator_map,
             )
 
         _obj = {

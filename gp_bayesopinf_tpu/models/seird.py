@@ -170,6 +170,49 @@ class SEIRD2:
         axes[2].set_title("Phase plot")
         return fig
 
+    def cah_operators(self, params: jnp.ndarray) -> jnp.ndarray:
+        """Quadratic "cAH" operator rows equivalent to ``derivative``.
+
+        The SEIRD2 right-hand side is exactly quadratic in the state, so a
+        parameter vector defines operator rows over the compressed features
+        ``[1, q, ckron(q)]`` (``ops.quadratic.ckron`` ordering) with
+
+            O @ features == derivative(t, q, params)   for all q.
+
+        This maps posterior parameter draws onto the ensemble-screening
+        megakernel's operator layout so the ODE pipeline's regularization
+        search (reference ``ODEs/step3_estimate.py`` 20-draw screen) can
+        run on the fused quadratic screen instead of per-draw integration.
+
+        Parameters
+        ----------
+        params : (4,) or (1, 4) array — SEIRD2 parameters; a (6,) or
+            (1, 6) array is converted via ``convert_parameters`` first.
+
+        Returns
+        -------
+        (5, 21) operator matrix ``[c | A | H]``.
+        """
+        params = jnp.asarray(params).reshape(-1)
+        if params.shape[0] == 6:
+            params = self.convert_parameters(params)
+        p1, p2, p3, p4 = params[0], params[1], params[2], params[3]
+        r = self.num_variables
+        d = 1 + r + r * (r + 1) // 2
+        # Column layout: [0] constant; [1 + j] linear in q_j;
+        # [1 + r + (i(i+1)/2 + j)] quadratic q_i q_j (i >= j, ckron order).
+        colA = lambda j: 1 + j
+        colH = lambda i, j: 1 + r + i * (i + 1) // 2 + j
+        O = jnp.zeros((r, d), dtype=params.dtype)
+        O = O.at[0, colH(2, 0)].set(-p1)  # dS = -p1 S I
+        O = O.at[1, colH(2, 0)].set(p1)  # dE = p1 S I - p2 E
+        O = O.at[1, colA(1)].set(-p2)
+        O = O.at[2, colA(1)].set(p2)  # dI = p2 E - (p3 + p4) I
+        O = O.at[2, colA(2)].set(-(p3 + p4))
+        O = O.at[3, colA(2)].set(p3)  # dR = p3 I
+        O = O.at[4, colA(2)].set(p4)  # dD = p4 I
+        return O
+
     @staticmethod
     def data_matrix(states: jnp.ndarray) -> jnp.ndarray:
         """Stacked (5k, 4) data matrix for the coupled linear-in-parameters

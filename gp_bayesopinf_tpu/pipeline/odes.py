@@ -34,7 +34,12 @@ from ..models import SEIRD2
 from ..gp import fit_gaussian_processes
 from ..solve import weighted_lstsq_fit
 from ..bayes.posterior import ensemble_dtype
-from ..bayes import OperatorPosterior, BayesianODE, auto_regularize
+from ..bayes import (
+    OperatorPosterior,
+    BayesianODE,
+    KernelScreenSpec,
+    auto_regularize,
+)
 from ..utils import key_from_seed, split_tree, TimedBlock
 
 
@@ -178,6 +183,11 @@ def run_seird(
             weights_are_cholesky=(gps[0].weight_method == "chol"),
         )
 
+        # SEIRD2's RHS is exactly quadratic, so parameter draws map to
+        # "cAH" operator rows (``model.cah_operators``) and the search's
+        # grid screen runs on the fused ensemble megakernel on TPU
+        # (generic per-draw integration elsewhere — identical decisions,
+        # pinned by tests/test_seird_kernel.py).
         predict_fn = lambda O, q, t: model.solve(q, t, parameters=O[0])
         res = auto_regularize(
             fac,
@@ -190,6 +200,12 @@ def run_seird(
             grid=config.reg_grid,
             ndraws=20,
             verbose=verbose,
+            rom=KernelScreenSpec(
+                structure="cAH",
+                state_dimension=model.num_variables,
+                substeps=model.substeps,
+            ),
+            operator_map=model.cah_operators,
         )
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianODE(model, posterior, res.regularizer)
