@@ -253,6 +253,36 @@ def _make_kernel_objective(
     return jax.jit(grid_objective)
 
 
+def _mesh_sharded_grid(batched: Callable, mesh, axis: str) -> Callable:
+    """Spread a batched grid objective's candidate axis over a device mesh.
+
+    The grid screen is embarrassingly parallel over candidates (the
+    reference evaluates them serially: ``PDEs/step3_estimate.py`` loop),
+    so each device runs the identical per-shard program — including the
+    Pallas megakernel, which executes per device under ``shard_map`` —
+    with no collectives. Candidates are padded by wrapping to a multiple
+    of the mesh axis size and the padding is discarded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    ndev = int(mesh.shape[axis])
+
+    def call(lams, keys):
+        G = lams.shape[0]
+        Gp = -(-G // ndev) * ndev
+        idx = jnp.arange(Gp) % G
+        return fn(lams[idx], keys[idx])[:G]
+
+    return call
+
+
 def auto_regularize(
     lstsq: WeightedLSTSQ,
     predict_fns: Sequence[Callable],
@@ -271,6 +301,8 @@ def auto_regularize(
     refine_failure: str = "fallback",
     input_funcs: Optional[Sequence[Callable]] = None,
     operator_map: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = "draw",
 ) -> RegSearchResult:
     """Select the regularization hyperparameter.
 
@@ -290,6 +322,12 @@ def auto_regularize(
     bounded refinement fails: the PDEs pipeline falls back to the grid best
     (``PDEs/step3_estimate.py:176-178``, the default) while PDEsMulti
     raises (``PDEsMulti/step3_estimate.py:207``, ``refine_failure="raise"``).
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with axis ``mesh_axis``) spreads the
+    grid phase's candidates over the device mesh via ``shard_map`` — the
+    screen is embarrassingly parallel, so multi-chip scaling is linear in
+    the mesh axis size; results are identical to the single-device path
+    (same per-candidate keys). The bounded refinement stays single-device.
     """
     if refine_failure not in ("fallback", "raise"):
         raise ValueError("refine_failure must be 'fallback' or 'raise'")
@@ -414,11 +452,15 @@ def auto_regularize(
         # trip accelerator watchdogs for the heavier implicit-ROM grids)
         # and bounds peak memory. The last chunk is padded by repetition.
         G = len(grid)
+        grid_eval = batched
         CHUNK = min(16, G)
+        if mesh is not None and not screen_on_host:
+            grid_eval = _mesh_sharded_grid(batched, mesh, mesh_axis)
+            CHUNK = min(16 * int(mesh.shape[mesh_axis]), G)
         parts = []
         for s in range(0, G, CHUNK):
             idx = np.arange(s, s + CHUNK) % G  # pad by wrapping
-            part = batched(grid_j[idx], keys[idx])
+            part = grid_eval(grid_j[idx], keys[idx])
             parts.append(np.asarray(part)[: min(CHUNK, G - s)])
         grid_errors = np.concatenate(parts)[:G]
         if verbose:

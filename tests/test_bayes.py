@@ -94,6 +94,62 @@ def test_auto_regularize_selects_stable(linear_problem):
     assert np.isfinite(res.grid_errors).all()
 
 
+def test_auto_regularize_mesh_sharded_grid_matches(linear_problem):
+    """Sharding the candidate axis over a device mesh reproduces the
+    single-device screen (same per-candidate keys; padding by wrapping is
+    discarded; errors agree to compilation-reassociation precision)."""
+    from gp_bayesopinf_tpu.parallel.mesh import make_mesh
+
+    rom, fac, Q, t, q0, _ = linear_problem
+    kw = dict(
+        initial_conditions=jnp.asarray(q0)[None],
+        t_pred=jnp.asarray(t),
+        t_est=jnp.asarray(t),
+        snapshots_est=jnp.asarray(Q)[None],
+        key=jax.random.PRNGKey(1),
+        grid=np.logspace(-10, 2, 9),  # 9 candidates over 8 devices
+        ndraws=8,
+        verbose=False,
+    )
+    predict = [lambda O, q, tt: rom.predict(O, q, tt)]
+    res_serial = auto_regularize(fac, predict, **kw)
+    res_mesh = auto_regularize(
+        fac, predict, mesh=make_mesh({"draw": -1}), **kw
+    )
+    np.testing.assert_allclose(
+        res_serial.grid_errors, res_mesh.grid_errors, rtol=1e-6
+    )
+    assert np.argmin(res_mesh.grid_errors) == np.argmin(res_serial.grid_errors)
+    np.testing.assert_allclose(
+        res_mesh.regularizer, res_serial.regularizer, rtol=1e-6
+    )
+
+    # The kernel (XLA-twin) objective shards the same way.
+    rom2 = GalerkinROM("cAH", state_dimension=3, substeps=4)
+    D2 = rom2.data_matrix(jnp.asarray(Q))[None]
+    m = Q.shape[1]
+    sqrtW2 = jnp.asarray(
+        np.broadcast_to(30.0 * np.eye(m), (3, 1, m, m)).copy()
+    )
+    A_true = np.diag([-0.6, -1.1, -1.7])
+    fac2 = weighted_lstsq_fit(D2, sqrtW2, jnp.asarray((A_true @ Q))[:, None, :])
+    predict2 = [lambda O, q, tt: rom2.predict(O, q, tt)]
+    res_k = auto_regularize(
+        fac2, predict2, rom=rom2, use_kernel=True, **kw
+    )
+    res_km = auto_regularize(
+        fac2, predict2, rom=rom2, use_kernel=True,
+        mesh=make_mesh({"draw": -1}), **kw
+    )
+    np.testing.assert_allclose(
+        res_k.grid_errors, res_km.grid_errors, rtol=1e-6
+    )
+    assert np.argmin(res_km.grid_errors) == np.argmin(res_k.grid_errors)
+    np.testing.assert_allclose(
+        res_km.regularizer, res_k.regularizer, rtol=1e-6
+    )
+
+
 def test_auto_regularize_all_unstable_raises(linear_problem):
     rom, fac, Q, t, q0, _ = linear_problem
     # An envelope of zeros makes every draw "unstable".
