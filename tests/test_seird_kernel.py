@@ -94,6 +94,48 @@ def seird_search_problem(rng):
     return model, fac, states, t_est, t_pred
 
 
+def test_pallas_interpret_screens_seird_operators(rng):
+    """The Pallas megakernel (interpret mode) screens operator-mapped
+    SEIRD draws identically to the XLA twin — de-risks the TPU kernel
+    path at the SEIRD shapes (r=5, d=21)."""
+    from gp_bayesopinf_tpu.ops.ensemble_pallas import (
+        quadratic_ensemble_screen,
+        quadratic_ensemble_screen_xla,
+    )
+
+    model = SEIRD2(
+        parameters=tuple(
+            np.asarray(
+                SEIRD2.convert_parameters((1.0, 0.25, 0.1, 0.1, 0.05, 0.05))
+            )
+        )
+    )
+    G, nd, k = 2, 4, 40
+    base = np.asarray(model.parameters)
+    draws = base[None] * (1.0 + 0.3 * rng.standard_normal((G * nd, 4)))
+    draws[-1] *= 40.0  # a diverging draw
+    ohats = jax.vmap(model.cah_operators)(jnp.asarray(draws))
+    assert ohats.shape == (G * nd, 5, 21)
+    q0 = jnp.asarray([0.994, 0.005, 0.001, 0.0, 0.0])
+    t = jnp.asarray(np.linspace(0.0, 60.0, k))
+    truth = model.solve(q0, t)
+    shift = jnp.mean(truth, axis=1)
+    limits = 5.0 * jnp.max(jnp.abs(truth - shift[:, None]), axis=1) + 0.05
+    args = (ohats, q0, t, shift, limits, truth)
+    st_p, err_p = quadratic_ensemble_screen(
+        *args, nd=nd, substeps=model.substeps, interpret=True
+    )
+    st_x, err_x = quadratic_ensemble_screen_xla(
+        *args, nd=nd, substeps=model.substeps
+    )
+    np.testing.assert_array_equal(np.asarray(st_p), np.asarray(st_x))
+    assert np.asarray(st_p).sum() >= 1  # some draws survive
+    assert not np.asarray(st_p)[-1]  # the diverging draw is rejected
+    np.testing.assert_allclose(
+        np.asarray(err_p), np.asarray(err_x), rtol=1e-5
+    )
+
+
 @pytest.mark.slow
 def test_kernel_search_matches_generic(seird_search_problem):
     model, fac, states, t_est, t_pred = seird_search_problem
