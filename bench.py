@@ -365,12 +365,20 @@ def main():
     def _accel_alive(timeout=90):
         import subprocess
 
+        # No captured pipes: the axon backend spawns helper processes
+        # that inherit them, and after a TimeoutExpired kill of the
+        # direct child, run() would block on pipe EOF forever. DEVNULL
+        # (plus a fresh session so the kill cannot hit this process
+        # group) keeps the probe itself time-bounded.
         try:
             return (
                 subprocess.run(
                     [sys.executable, "-c",
                      "import jax; jax.devices()"],
-                    timeout=timeout, capture_output=True,
+                    timeout=timeout,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    start_new_session=True,
                 ).returncode == 0
             )
         except subprocess.TimeoutExpired:

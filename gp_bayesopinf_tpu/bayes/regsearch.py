@@ -369,6 +369,14 @@ def auto_regularize(
             "use_kernel requires an autonomous 'cAH' GalerkinROM or a "
             "'cAHBN' dirk2 GalerkinROM with input_funcs"
         )
+    if use_kernel and isinstance(rom, KernelScreenSpec) and operator_map is None:
+        # Without the map, parameter-row draws would hit the generic
+        # (G*ndraws, r, -1) reshape: an opaque trace error at best,
+        # silently garbage operator rows at worst.
+        raise ValueError(
+            "a KernelScreenSpec rom requires operator_map (the draw -> "
+            "operator-rows expansion, e.g. SEIRD2.cah_operators)"
+        )
 
     if use_kernel:
         import os as _os
@@ -402,20 +410,37 @@ def auto_regularize(
         }
         _obj["fn"] = _build_kernel_objective(_obj["pallas"])
 
-        def batched(lams, ks):
-            try:
-                return _obj["fn"](lams, ks)
-            except Exception as exc:  # Mosaic toolchain regression
-                if not _obj["pallas"]:
-                    raise
-                _logging.warning(
-                    "Pallas ensemble megakernel failed (%r); "
-                    "falling back to the XLA twin", exc,
-                )
-                _obj["fn"] = _build_kernel_objective(False)
-                _obj["pallas"] = False
-                return _obj["fn"](lams, ks)
+        def _kernel_call(entry):
+            """Call ``_obj[entry]`` with the Pallas->XLA-twin fallback.
 
+            The fallback must wrap the OUTERMOST program: under
+            ``shard_map`` the kernel objective is only traced inside
+            ``batched``, and a Mosaic compile error surfaces when the
+            sharded program itself compiles — so the sharded entry gets
+            its own wrapper rebuilt alongside ``_obj["fn"]``.
+            """
+
+            def call(lams, ks):
+                try:
+                    return _obj[entry](lams, ks)
+                except Exception as exc:  # Mosaic toolchain regression
+                    if not _obj["pallas"]:
+                        raise
+                    _logging.warning(
+                        "Pallas ensemble megakernel failed (%r); "
+                        "falling back to the XLA twin", exc,
+                    )
+                    _obj["pallas"] = False
+                    _obj["fn"] = _build_kernel_objective(False)
+                    if "sharded_mesh" in _obj:
+                        _obj["sharded"] = _mesh_sharded_grid(
+                            _obj["fn"], *_obj["sharded_mesh"]
+                        )
+                    return _obj[entry](lams, ks)
+
+            return call
+
+        batched = _kernel_call("fn")
         single = lambda lam, k: batched(jnp.asarray(lam)[None], k[None])[0]
     else:
         if screen_dtype is None and _jax.default_backend() == "tpu":
@@ -455,8 +480,19 @@ def auto_regularize(
         grid_eval = batched
         CHUNK = min(16, G)
         if mesh is not None and not screen_on_host:
-            grid_eval = _mesh_sharded_grid(batched, mesh, mesh_axis)
             CHUNK = min(16 * int(mesh.shape[mesh_axis]), G)
+            if use_kernel:
+                # Shard the RAW kernel objective and route calls through
+                # the fallback wrapper (see ``_kernel_call``): wrapping
+                # ``batched`` itself would bury the try/except at trace
+                # time, turning a Mosaic failure into a hard error.
+                _obj["sharded_mesh"] = (mesh, mesh_axis)
+                _obj["sharded"] = _mesh_sharded_grid(
+                    _obj["fn"], mesh, mesh_axis
+                )
+                grid_eval = _kernel_call("sharded")
+            else:
+                grid_eval = _mesh_sharded_grid(batched, mesh, mesh_axis)
         parts = []
         for s in range(0, G, CHUNK):
             idx = np.arange(s, s + CHUNK) % G  # pad by wrapping

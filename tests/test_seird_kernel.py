@@ -136,6 +136,24 @@ def test_pallas_interpret_screens_seird_operators(rng):
     )
 
 
+def test_kernel_spec_requires_operator_map(seird_search_problem):
+    model, fac, states, t_est, t_pred = seird_search_problem
+    with pytest.raises(ValueError, match="operator_map"):
+        auto_regularize(
+            fac,
+            [lambda O, q, t: model.solve(q, t, parameters=O[0])],
+            states[:, 0][None], t_pred, t_est, states[None],
+            key_from_seed(7),
+            rom=KernelScreenSpec(
+                structure="cAH",
+                state_dimension=model.num_variables,
+                substeps=model.substeps,
+            ),
+            use_kernel=True,
+            grid=np.logspace(-8, 0, 3), ndraws=4, verbose=False,
+        )
+
+
 @pytest.mark.slow
 def test_kernel_search_matches_generic(seird_search_problem):
     model, fac, states, t_est, t_pred = seird_search_problem
