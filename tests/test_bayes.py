@@ -94,6 +94,7 @@ def test_auto_regularize_selects_stable(linear_problem):
     assert np.isfinite(res.grid_errors).all()
 
 
+@pytest.mark.slow
 def test_auto_regularize_mesh_sharded_grid_matches(linear_problem):
     """Sharding the candidate axis over a device mesh reproduces the
     single-device screen (same per-candidate keys; padding by wrapping is
@@ -183,6 +184,7 @@ def test_operator_posterior_sampling_stats(rng):
         np.testing.assert_allclose(emp_cov, covs[i], atol=0.25)
 
 
+@pytest.mark.slow
 def test_auto_regularize_kernel_path_matches(linear_problem):
     """The megakernel-backed grid objective ranks candidates like the
     generic objective (same stability gating; draw noise differs)."""
@@ -226,6 +228,7 @@ def test_auto_regularize_kernel_path_matches(linear_problem):
         )
 
 
+@pytest.mark.slow
 def test_auto_regularize_cahbn_kernel_path_matches(rng):
     """The implicit-SDIRK cAHBN kernel objective matches the generic
     dirk2 objective's stability decisions and errors (heat-multi path)."""
