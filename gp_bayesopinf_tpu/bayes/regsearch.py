@@ -422,8 +422,15 @@ def auto_regularize(
 
             def call(lams, ks):
                 try:
-                    return _obj[entry](lams, ks)
-                except Exception as exc:  # Mosaic toolchain regression
+                    # np.asarray forces real execution HERE: under async
+                    # dispatch a device-side runtime failure would
+                    # otherwise surface at the caller's readback, outside
+                    # this handler (and under the axon tunnel
+                    # block_until_ready returns at enqueue time, so only
+                    # a host copy truly waits). The caller converts to
+                    # NumPy anyway.
+                    return np.asarray(_obj[entry](lams, ks))
+                except Exception as exc:  # Mosaic compile OR runtime failure
                     if not _obj["pallas"]:
                         raise
                     _logging.warning(
@@ -436,7 +443,7 @@ def auto_regularize(
                         _obj["sharded"] = _mesh_sharded_grid(
                             _obj["fn"], *_obj["sharded_mesh"]
                         )
-                    return _obj[entry](lams, ks)
+                    return np.asarray(_obj[entry](lams, ks))
 
             return call
 

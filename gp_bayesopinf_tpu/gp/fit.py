@@ -84,13 +84,13 @@ def _screen_all(T, Y, box, keys, n_restarts, adam_steps, adam_lr):
 
 
 @jax.jit
-def _rank_full(T, Y, box, Z):
+def _rank_full(T, Y, box, Z, method="auto"):
     """Evaluate the FULL-data NLML for every screened candidate — one
     batched Cholesky per (mode, restart) instance, so re-ranking costs one
     screening step regardless of the subsample used during descent."""
 
     def one_mode(t_i, y_i, z_i):
-        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
+        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i, method=method)
         return jax.vmap(fun)(z_i)
 
     v = jax.vmap(one_mode)(T, Y, Z)
@@ -140,12 +140,12 @@ def _newton_polish(z0, fun, maxiter: int):
     return z_fin, v_fin
 
 
-@partial(jax.jit, static_argnames=("polish_iters",))
-def _polish_all(T, Y, box, z_best, polish_iters):
+@partial(jax.jit, static_argnames=("polish_iters", "method"))
+def _polish_all(T, Y, box, z_best, polish_iters, method="auto"):
     """Phase 2: Newton polish from each mode's screening winner."""
 
     def one_mode(t_i, y_i, z0):
-        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
+        fun = partial(nlml_in_box, box=box, t=t_i, y=y_i, method=method)
         return _newton_polish(z0, fun, polish_iters)
 
     return jax.vmap(one_mode)(T, Y, z_best)
@@ -174,8 +174,12 @@ def _select_winner(v, z):
 # fresh jax.jit wrapper (fresh trace cache), so building it per fit call
 # would re-trace the polish/rank graphs every time (~2 s of fixed overhead
 # per fit measured on this machine).
-_polish_all_host = host_jit(_polish_all, static_argnames=("polish_iters",))
-_rank_full_host = host_jit(_rank_full)  # host f64 NLML (profiling/oracles)
+_polish_all_host = host_jit(
+    _polish_all, static_argnames=("polish_iters", "method")
+)
+_rank_full_host = host_jit(  # host f64 NLML (profiling/oracles)
+    _rank_full, static_argnames=("method",)
+)
 
 
 def default_fit_dtype():
@@ -244,12 +248,14 @@ def fit_gp_hyperparameters(
         Same strided-subsample cap for the Newton polish (its Hessian
         evaluations are also O(m^3) per iteration). None polishes on the
         full data. Either way the final winner-vs-polish selection is a
-        full-data f64 NLML comparison.
+        full-data NLML comparison in ``fit_dtype`` (Phase 3; the
+        sync-free redesign keeps it on the fitting device).
 
     Returns
     -------
-    FitResult with (r,)-shaped fields in the default float width, still
-    resident on the fitting device (no sync has happened).
+    FitResult still resident on the fitting device (no sync has
+    happened): (r,)-shaped hyperparameters in the default float width;
+    the ``nlml`` field stays in ``fit_dtype``.
     """
     import numpy as np
 
@@ -286,8 +292,12 @@ def fit_gp_hyperparameters(
     # Hessian via autodiff plus three damped-candidate NLML evaluations.
     # The per-eval Cholesky is O(m^3), so the polish descends on a strided
     # subsample above ``polish_points``. If the device polish fails to
-    # compile/run (axon toolchain regressions have eaten richer graphs
-    # than this), fall back to the host f64 polish program.
+    # COMPILE (axon toolchain regressions have eaten richer graphs than
+    # this), fall back to the host f64 polish program. A device RUNTIME
+    # failure is not caught here: under async dispatch it surfaces at the
+    # caller's first readback — the accepted trade-off for keeping the
+    # fit sync-free (a readback inside this try would cost a tunnel
+    # round trip on every fit).
     if polish_points is not None and m > polish_points:
         pidx = jnp.asarray(
             np.unique(
@@ -308,6 +318,11 @@ def fit_gp_hyperparameters(
             box64,
             jnp.asarray(np.asarray(z_best, np.float64)),
             polish_iters,
+            # Host execution: the LAPACK Cholesky custom call is both
+            # faster and cheaper to compile on CPU than the unrolled
+            # straight-line factorization "auto" would pick from the
+            # session's TPU default backend.
+            method="chol",
         )
         z_pol = jnp.asarray(np.asarray(z_pol_h), fit_dtype)
 

@@ -110,6 +110,8 @@ class BoxTransform(NamedTuple):
         return BoxTransform(lo, hi)
 
 
-def nlml_in_box(z: jnp.ndarray, box: BoxTransform, t, y) -> jnp.ndarray:
+def nlml_in_box(
+    z: jnp.ndarray, box: BoxTransform, t, y, method: str = "auto"
+) -> jnp.ndarray:
     """NLML as a function of the unconstrained coordinates."""
-    return nlml(box.to_log_params(z), t, y)
+    return nlml(box.to_log_params(z), t, y, method=method)

@@ -39,7 +39,7 @@ from ..parallel.sharded import randomized_pod, tall_skinny_svd
 from ..rom.model import GalerkinROM
 from ..solve.lstsq import WeightedLSTSQ
 from ..solve.ivp import stability_mask
-from ..utils.hostmath import host_jit
+from ..utils.hostmath import host_device, host_jit
 
 
 @dataclasses.dataclass
@@ -360,11 +360,15 @@ def run_scaled(
     # answer, but a vacuous demo. "cAH" runs the same code with d ~ r^2/2
     # unknowns (exercised in tests).
     rom = GalerkinROM(modelform, state_dimension=num_modes, substeps=2)
-    if weight_method == "lowrank":
-        state_estimate = jnp.asarray(state_est_np)
-    else:
-        state_estimate = ests.state_estimate
-    D = rom.data_matrix(state_estimate)  # (m', d) f64 host
+    # Feature assembly stays on the host CPU device: an uncommitted f64
+    # array would dispatch the quadratic-feature ops to the accelerator
+    # in emulated f64 (slow, inaccurate — utils.hostmath policy).
+    with jax.default_device(host_device()):
+        if weight_method == "lowrank":
+            state_estimate = jnp.asarray(state_est_np)
+        else:
+            state_estimate = ests.state_estimate
+        D = rom.data_matrix(state_estimate)  # (m', d) f64 host
     if num_regression_points < D.shape[1]:
         raise ValueError(
             f"underdetermined regression: num_regression_points="
@@ -437,22 +441,11 @@ def run_scaled(
 
     draw_sharding = NamedSharding(mesh, P("draw", None, None))
 
-    @jax.jit
-    def candidate_errors(keys):
-        def one(lam, k):
-            # 20-draw screen: the reference's candidate acceptance count
-            # (PDEs/step3_estimate.py; bayes/regsearch.py default).
-            ohats = fac.sample(lam, k, 20)
-            ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
-            sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
-            stable = jnp.all(stability_mask(sols, shift, limits))
-            err = jnp.linalg.norm(jnp.mean(sols, axis=0) - states_est)
-            err = err / jnp.linalg.norm(states_est)
-            return jnp.where(stable & jnp.isfinite(err), err, 1e12)
-
-        return jax.vmap(one)(grid32, keys)
-
     def candidate_errors_single(lam_, key):
+        # 20-draw screen: the reference's candidate acceptance count
+        # (PDEs/step3_estimate.py; bayes/regsearch.py default). One
+        # objective shared by the grid phase and the refinement so the
+        # two can never drift apart.
         ohats = fac.sample(lam_, key, 20)
         ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
         sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
@@ -460,6 +453,10 @@ def run_scaled(
         err = jnp.linalg.norm(jnp.mean(sols, axis=0) - states_est)
         err = err / jnp.linalg.norm(states_est)
         return jnp.where(stable & jnp.isfinite(err), err, 1e12)
+
+    candidate_errors = jax.jit(
+        lambda keys: jax.vmap(candidate_errors_single)(grid32, keys)
+    )
 
     with tb("scaled: regularization screening"):
         errs = candidate_errors(jax.random.split(k_draw, grid_size))
@@ -473,10 +470,13 @@ def run_scaled(
     ibest = int(np.argmin(errs_np))
     lam = grid32[ibest]
 
-    # Bounded refinement between the grid neighbors of the winner — the
-    # main pipelines' semantics (bayes/regsearch.py; reference
-    # PDEs/step3_estimate.py): log-space scalar minimization of the same
-    # 20-draw objective under a frozen key.
+    # Bounded log-space refinement of the same 20-draw objective under a
+    # frozen key (bayes/regsearch.py semantics with one deliberate
+    # divergence: an endpoint winner keeps the grid value instead of
+    # widening the bounds — the scaled demo's grid spans 18 decades, so
+    # an endpoint means the problem, not the grid, is mis-scaled). The
+    # grid winner is RE-EVALUATED under the refine key so acceptance
+    # compares like with like rather than across different draw keys.
     if 0 < ibest < grid_size - 1:
         import scipy.optimize
 
@@ -489,13 +489,14 @@ def run_scaled(
             return float(single(jnp.asarray(10.0**loglam, f32)))
 
         with tb("scaled: regularization refinement"):
+            best_refkey = float(single(grid32[ibest]))
             opt = scipy.optimize.minimize_scalar(
                 obj,
                 bounds=(np.log10(grid[ibest - 1]), np.log10(grid[ibest + 1])),
                 method="bounded",
                 options={"maxiter": 20, "xatol": 1e-2},
             )
-        if np.isfinite(opt.fun) and opt.fun < errs_np[ibest]:
+        if np.isfinite(opt.fun) and opt.fun < best_refkey:
             lam = jnp.asarray(10.0**opt.x, f32)
 
     @jax.jit

@@ -100,19 +100,7 @@ class WeightedLSTSQ(NamedTuple):
         Solves the normal equations
         (D~^T D~ + Gamma^T Gamma) o = D~^T z~ per row, batched.
         """
-        Gamma = jnp.asarray(Gamma, dtype=self.S.dtype)
-        r, d = self.num_problems, self.num_unknowns
-        if Gamma.shape == (d, d):
-            Gamma = jnp.broadcast_to(Gamma[None], (r, d, d))
-        elif Gamma.shape != (r, d, d):
-            raise ValueError(
-                f"Gamma shape {Gamma.shape} is neither {(d, d)} nor "
-                f"{(r, d, d)}"
-            )
-        DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
-        A = DtD + jnp.einsum("rki,rkj->rij", Gamma, Gamma)
-        b = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
-        return jnp.linalg.solve(A, b[..., None])[..., 0]
+        return self._tikhonov_normal_eqs(Gamma)[0]
 
     def posterior_tikhonov(self, Gamma: jnp.ndarray):
         """(means, precisions) under a general Tikhonov regularizer.
@@ -123,15 +111,24 @@ class WeightedLSTSQ(NamedTuple):
         the scalar ridge. Accepts the same shapes as
         ``solve_tikhonov_matrix``.
         """
+        return self._tikhonov_normal_eqs(Gamma)
+
+    def _tikhonov_normal_eqs(self, Gamma: jnp.ndarray):
+        """(means, precisions) of the per-row normal equations
+        (D~^T D~ + Gamma^T Gamma) o = D~^T z~, with shape validation."""
         Gamma = jnp.asarray(Gamma, dtype=self.S.dtype)
         r, d = self.num_problems, self.num_unknowns
         if Gamma.shape == (d, d):
             Gamma = jnp.broadcast_to(Gamma[None], (r, d, d))
+        elif Gamma.shape != (r, d, d):
+            raise ValueError(
+                f"Gamma shape {Gamma.shape} is neither {(d, d)} nor "
+                f"{(r, d, d)}"
+            )
         DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
         P = DtD + jnp.einsum("rki,rkj->rij", Gamma, Gamma)
         b = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
-        means = jnp.linalg.solve(P, b[..., None])[..., 0]
-        return means, P
+        return jnp.linalg.solve(P, b[..., None])[..., 0], P
 
     # ---- posterior covariance spectrum ---------------------------------------
     def precision_eigs(self, lam):

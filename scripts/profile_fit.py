@@ -104,7 +104,7 @@ def main():
     Y64 = jnp.asarray(Y, f64)
 
     def run_verify():
-        return jax.block_until_ready(_rank_full_host(T64, Y64, box64, pair))
+        return jax.block_until_ready(_rank_full_host(T64, Y64, box64, pair, method="chol"))
 
     dt_ver, _ = timeit(run_verify)
 
