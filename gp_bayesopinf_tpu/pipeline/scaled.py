@@ -52,6 +52,7 @@ class ScaledResult:
     train_error: float = float("nan")  # rel. error of ensemble mean vs GP estimates
     grid: Optional[np.ndarray] = None  # candidate regularizers
     grid_errors: Optional[np.ndarray] = None  # 1e12 = rejected (unstable)
+    regularizer_quad: Optional[float] = None  # blocked mode: lambda on H
 
 
 def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
@@ -162,6 +163,7 @@ def run_scaled(
     envelope_floor: float = 0.02,
     weight_method: str = "auto",
     data_source: str = "synthetic",
+    regularization: str = "scalar",
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -187,6 +189,16 @@ def run_scaled(
     (``_synthetic_states``); "euler" = the reference's Euler FOM scaled
     to n_space = 3 * nx lifted DOF (``_euler_states``) — the physical
     quadratic-dynamics variant of the north-star run.
+
+    ``regularization``: "scalar" = the reference's single-lambda ridge
+    search (``PDEs/step3_estimate.py`` semantics); "blocked" = the
+    two-parameter per-operator-block Tikhonov (lambda_1 on c/A/B columns,
+    lambda_2 on the quadratic H block) searched over a 2-D grid with the
+    same 20-draw screen — the classic OpInf stabilizer for draw-marginal
+    quadratic ROMs, built on the reference's
+    ``opinf.lstsq.TikhonovSolver`` diagonal surface
+    (``codebase/wlstsq.py:179-181``; ``solve.lstsq.TikhonovLSTSQ``).
+    Requires "H" in ``modelform``.
     """
     import os
 
@@ -199,6 +211,15 @@ def run_scaled(
         pipeline_stage_state,
         save_checkpoint,
     )
+
+    if regularization not in ("scalar", "blocked"):
+        raise ValueError(f"unknown regularization '{regularization}'")
+    blocked = regularization == "blocked"
+    if blocked and "H" not in modelform:
+        raise ValueError(
+            "regularization='blocked' separates the quadratic block; "
+            f"modelform '{modelform}' has no H operator"
+        )
 
     if mesh is None:
         n_dev = len(jax.devices())
@@ -441,12 +462,35 @@ def run_scaled(
 
     draw_sharding = NamedSharding(mesh, P("draw", None, None))
 
-    def candidate_errors_single(lam_, key):
+    if blocked:
+        from ..rom.operators import operator_splits
+
+        quad_mask_np = np.zeros(D.shape[1], bool)
+        for name, a, b in operator_splits(modelform, num_modes):
+            if name == "H":
+                quad_mask_np[a:b] = True
+        quad_mask = jnp.asarray(quad_mask_np)
+        # Amortized normal equations: the O(M d^2) Gram contraction runs
+        # once on the mesh; each (lambda_1, lambda_2) candidate then costs
+        # one batched (r, d, d) Cholesky inside the screen.
+        tik = jax.jit(fac.tikhonov)()
+        jax.block_until_ready(tik)
+
+        def sample_draws(params, key, n):
+            gamma = jnp.where(quad_mask, params[1], params[0])
+            return tik.sample(gamma, key, n)
+
+    else:
+
+        def sample_draws(params, key, n):
+            return fac.sample(params, key, n)
+
+    def candidate_errors_single(params, key):
         # 20-draw screen: the reference's candidate acceptance count
         # (PDEs/step3_estimate.py; bayes/regsearch.py default). One
         # objective shared by the grid phase and the refinement so the
         # two can never drift apart.
-        ohats = fac.sample(lam_, key, 20)
+        ohats = sample_draws(params, key, 20)
         ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
         sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
         stable = jnp.all(stability_mask(sols, shift, limits))
@@ -454,12 +498,31 @@ def run_scaled(
         err = err / jnp.linalg.norm(states_est)
         return jnp.where(stable & jnp.isfinite(err), err, 1e12)
 
-    candidate_errors = jax.jit(
-        lambda keys: jax.vmap(candidate_errors_single)(grid32, keys)
-    )
+    if blocked:
+        # 2-D candidate grid (lambda_1 x lambda_2), one row of lambda_2
+        # values vmapped per lax.map step — grid_size^2 screens at the
+        # memory footprint of one grid row.
+        pairs = jnp.stack(
+            jnp.meshgrid(grid32, grid32, indexing="ij"), axis=-1
+        )  # (g, g, 2)
+
+        candidate_errors = jax.jit(
+            lambda keys: jax.lax.map(
+                lambda pk: jax.vmap(candidate_errors_single)(*pk),
+                (pairs, keys),
+            )
+        )
+        screen_keys = jax.random.split(
+            k_draw, grid_size * grid_size
+        ).reshape(grid_size, grid_size, 2)
+    else:
+        candidate_errors = jax.jit(
+            lambda keys: jax.vmap(candidate_errors_single)(grid32, keys)
+        )
+        screen_keys = jax.random.split(k_draw, grid_size)
 
     with tb("scaled: regularization screening"):
-        errs = candidate_errors(jax.random.split(k_draw, grid_size))
+        errs = candidate_errors(screen_keys)
         errs.block_until_ready()
     errs_np = np.asarray(errs)
     if bool(jnp.all(errs >= 1e12)):
@@ -467,8 +530,6 @@ def run_scaled(
             "scaled grid search failed: every candidate unstable "
             "(extend the grid or increase num_regression_points)"
         )
-    ibest = int(np.argmin(errs_np))
-    lam = grid32[ibest]
 
     # Bounded log-space refinement of the same 20-draw objective under a
     # frozen key (bayes/regsearch.py semantics with one deliberate
@@ -477,31 +538,65 @@ def run_scaled(
     # an endpoint means the problem, not the grid, is mis-scaled). The
     # grid winner is RE-EVALUATED under the refine key so acceptance
     # compares like with like rather than across different draw keys.
-    if 0 < ibest < grid_size - 1:
-        import scipy.optimize
+    import scipy.optimize
 
-        refine_key = jax.random.fold_in(k_draw, 101)
-        single = jax.jit(
-            lambda lam_: candidate_errors_single(lam_, refine_key)
+    refine_key = jax.random.fold_in(k_draw, 101)
+    single = jax.jit(
+        lambda p: candidate_errors_single(jnp.asarray(p, f32), refine_key)
+    )
+
+    if blocked:
+        i1, i2 = np.unravel_index(int(np.argmin(errs_np)), errs_np.shape)
+        params = jnp.asarray([grid[i1], grid[i2]], f32)
+        lo = np.log10([grid[max(i1 - 1, 0)], grid[max(i2 - 1, 0)]])
+        hi = np.log10(
+            [grid[min(i1 + 1, grid_size - 1)],
+             grid[min(i2 + 1, grid_size - 1)]]
         )
 
-        def obj(loglam):
-            return float(single(jnp.asarray(10.0**loglam, f32)))
+        def obj(logl):
+            # Nelder-Mead is unconstrained; clip to the neighbor box so
+            # the polish stays a local refinement of the grid winner.
+            logl = np.clip(logl, lo, hi)
+            return float(single(10.0 ** np.asarray(logl, np.float32)))
 
         with tb("scaled: regularization refinement"):
-            best_refkey = float(single(grid32[ibest]))
-            opt = scipy.optimize.minimize_scalar(
+            best_refkey = float(single(params))
+            opt = scipy.optimize.minimize(
                 obj,
-                bounds=(np.log10(grid[ibest - 1]), np.log10(grid[ibest + 1])),
-                method="bounded",
-                options={"maxiter": 20, "xatol": 1e-2},
+                x0=np.log10(np.asarray(params, np.float64)),
+                method="Nelder-Mead",
+                options={"maxfev": 40, "xatol": 1e-2, "fatol": 1e-4},
             )
         if np.isfinite(opt.fun) and opt.fun < best_refkey:
-            lam = jnp.asarray(10.0**opt.x, f32)
+            params = jnp.asarray(
+                10.0 ** np.clip(opt.x, lo, hi), f32
+            )
+    else:
+        ibest = int(np.argmin(errs_np))
+        params = grid32[ibest]
+        if 0 < ibest < grid_size - 1:
+
+            def obj(loglam):
+                return float(single(10.0**loglam))
+
+            with tb("scaled: regularization refinement"):
+                best_refkey = float(single(params))
+                opt = scipy.optimize.minimize_scalar(
+                    obj,
+                    bounds=(
+                        np.log10(grid[ibest - 1]),
+                        np.log10(grid[ibest + 1]),
+                    ),
+                    method="bounded",
+                    options={"maxiter": 20, "xatol": 1e-2},
+                )
+            if np.isfinite(opt.fun) and opt.fun < best_refkey:
+                params = jnp.asarray(10.0**opt.x, f32)
 
     @jax.jit
     def final_ensemble(key):
-        ohats = fac.sample(lam, key, ndraws)
+        ohats = sample_draws(params, key, ndraws)
         ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
         sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
         ok = stability_mask(sols, shift, limits)
@@ -519,13 +614,15 @@ def run_scaled(
     train_error = float(
         np.linalg.norm(mean_np - se_np) / np.linalg.norm(se_np)
     )
+    params_np = np.atleast_1d(np.asarray(params, np.float64))
     return ScaledResult(
         num_modes=num_modes,
-        regularizer=float(lam),
+        regularizer=float(params_np[0]),
         ensemble_mean=mean_np,
         stable_fraction=float(frac),
         svdvals=np.asarray(svdvals),
         train_error=train_error,
         grid=grid,
         grid_errors=errs_np,
+        regularizer_quad=float(params_np[1]) if blocked else None,
     )

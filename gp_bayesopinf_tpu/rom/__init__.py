@@ -6,6 +6,7 @@ from .basis import PODBasis, EulerScaledBasis, QuadraticLiftedBasis, shift
 from .operators import (
     operator_dims,
     operator_splits,
+    blocked_gamma_diag,
     extract_operators,
     assemble_data_matrix,
     rom_rhs,
@@ -19,6 +20,7 @@ __all__ = [
     "shift",
     "operator_dims",
     "operator_splits",
+    "blocked_gamma_diag",
     "extract_operators",
     "assemble_data_matrix",
     "rom_rhs",

@@ -51,6 +51,36 @@ def operator_splits(structure: str, r: int, m: int = 0):
     return spans
 
 
+def blocked_gamma_diag(
+    structure: str, r: int, m: int = 0, lams: Optional[Dict] = None,
+    default: float = 0.0,
+):
+    """(d,) diagonal Tikhonov regularizer with one value per operator block.
+
+    ``lams`` maps operator letters to regularizer values, e.g.
+    ``{"c": l1, "A": l1, "H": l2}`` — the classic OpInf two-parameter
+    scheme that shrinks the r(r+1)/2-column quadratic block independently
+    of the linear dynamics. Letters absent from ``lams`` get ``default``.
+    Values may be Python floats or (traced) scalars, so the result can be
+    built inside a jitted candidate-search objective; returns a jnp array
+    when any value is traced, else a float32 jnp array.
+
+    This is the diagonal form consumed by ``solve.lstsq.TikhonovLSTSQ``
+    (the reference's ``opinf.lstsq.TikhonovSolver`` diagonal surface,
+    ``codebase/wlstsq.py:179-181``).
+    """
+    lams = lams or {}
+    if not set(lams) <= _VALID:
+        raise ValueError(f"unknown operators in lams {sorted(lams)}")
+    parts = []
+    for ch, a, b in operator_splits(structure, r, m):
+        val = lams.get(ch, default)
+        parts.append(
+            jnp.broadcast_to(jnp.asarray(val, jnp.float32), (b - a,))
+        )
+    return jnp.concatenate(parts)
+
+
 def extract_operators(
     Ohat: jnp.ndarray, structure: str, r: int, m: int = 0
 ) -> Dict[str, jnp.ndarray]:

@@ -1,12 +1,13 @@
 """solve: device-resident ODE integration and weighted least squares."""
 
 from .ivp import rk4_solve, dirk2_solve, stability_mask
-from .lstsq import WeightedLSTSQ, weighted_lstsq_fit
+from .lstsq import WeightedLSTSQ, TikhonovLSTSQ, weighted_lstsq_fit
 
 __all__ = [
     "rk4_solve",
     "dirk2_solve",
     "stability_mask",
     "WeightedLSTSQ",
+    "TikhonovLSTSQ",
     "weighted_lstsq_fit",
 ]

@@ -167,6 +167,15 @@ class WeightedLSTSQ(NamedTuple):
         dev = jnp.einsum("rij,nrj->nri", self.V, xi * scale[None])
         return mean[None] + dev
 
+    def tikhonov(self) -> "TikhonovLSTSQ":
+        """Precompute the normal equations for repeated diagonal-Tikhonov
+        solves (``TikhonovLSTSQ``): the O(M d^2) Gram contraction happens
+        once, after which every candidate regularizer costs one batched
+        (d x d) Cholesky."""
+        DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
+        Dtz = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
+        return TikhonovLSTSQ(DtD, Dtz)
+
     def covariances(self, lam) -> jnp.ndarray:
         """Dense posterior covariances (r, d, d) — for export/persistence."""
         eigs = self.precision_eigs(lam)
@@ -177,6 +186,92 @@ class WeightedLSTSQ(NamedTuple):
         """Dense posterior precisions (r, d, d)."""
         eigs = self.precision_eigs(lam)
         return jnp.einsum("rik,rk,rjk->rij", self.V, eigs, self.V)
+
+
+class TikhonovLSTSQ(NamedTuple):
+    """Normal equations of the weighted regression, precomputed once, for
+    regularizer searches over NON-spherical (diagonal) Tikhonov matrices.
+
+    The spectral reuse in ``WeightedLSTSQ`` (one SVD shared by every
+    candidate) only works for scalar ridges lambda^2 I — a general
+    diagonal Gamma is not diagonalized by the data's singular vectors. For
+    a search over diagonal candidates (e.g. the per-operator-block
+    two-parameter regularizer of ``pipeline.scaled``), the right
+    factorization is the one the reference's ``opinf.lstsq.TikhonovSolver``
+    uses per solve (normal equations + Cholesky,
+    ``codebase/wlstsq.py:179-181`` behavioral surface), amortized: the
+    O(M d^2) Gram contraction happens once here, and each candidate costs
+    one batched (r, d, d) Cholesky — MXU-friendly and cheap at ROM sizes.
+
+    Shapes: r independent row problems, d unknowns each.
+    """
+
+    DtD: jnp.ndarray  # (r, d, d) Gram matrices (sqrtW D)^T (sqrtW D)
+    Dtz: jnp.ndarray  # (r, d) right-hand sides (sqrtW D)^T z-tilde
+
+    @property
+    def num_problems(self) -> int:
+        return self.DtD.shape[0]
+
+    @property
+    def num_unknowns(self) -> int:
+        return self.DtD.shape[-1]
+
+    def _broadcast_gamma(self, gamma_diag) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            jnp.asarray(gamma_diag, dtype=self.DtD.dtype),
+            (self.num_problems, self.num_unknowns),
+        )
+
+    def precision_cholesky(self, gamma_diag) -> jnp.ndarray:
+        """Lower Cholesky factors of P = DtD + diag(gamma^2), (r, d, d)."""
+        g = self._broadcast_gamma(gamma_diag)
+        P = self.DtD + jax.vmap(jnp.diag)(g * g)
+        return jnp.linalg.cholesky(P)
+
+    def solve(self, gamma_diag) -> jnp.ndarray:
+        """Posterior mean rows (r, d) for a diagonal regularizer.
+
+        ``gamma_diag``: scalar, (d,), or (r, d). Matches
+        ``WeightedLSTSQ.solve_tikhonov`` (oracle-tested) but reuses the
+        precomputed Gram matrices.
+        """
+        L = self.precision_cholesky(gamma_diag)
+        return jax.scipy.linalg.cho_solve(
+            (L, True), self.Dtz[..., None]
+        )[..., 0]
+
+    def sample(self, gamma_diag, key, ndraws: int) -> jnp.ndarray:
+        """Draw (ndraws, r, d) operator samples from N(mean, P^{-1}).
+
+        With P = L L^T, x = L^{-T} xi has covariance P^{-1}; the mean is
+        the Tikhonov solution. Same posterior semantics as
+        ``WeightedLSTSQ.sample`` generalized beyond spherical ridges
+        (reference precision assembly: ``PDEs/step3_estimate.py:84-89``).
+        """
+        L = self.precision_cholesky(gamma_diag)
+        mean = jax.scipy.linalg.cho_solve(
+            (L, True), self.Dtz[..., None]
+        )[..., 0]
+        xi = jax.random.normal(
+            key,
+            (ndraws, self.num_problems, self.num_unknowns),
+            dtype=self.DtD.dtype,
+        )
+        # Solve L^T x = xi for every draw: batch (r) over the triangular
+        # solve, with draws stacked as right-hand-side columns.
+        dev = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2),
+            jnp.moveaxis(xi, 0, -1),  # (r, d, ndraws)
+            lower=False,
+        )
+        return mean[None] + jnp.moveaxis(dev, -1, 0)
+
+    def posterior_spd(self, gamma_diag) -> jnp.ndarray:
+        """True iff every row precision is SPD (finite Cholesky)."""
+        L = self.precision_cholesky(gamma_diag)
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
 
 
 def weighted_lstsq_fit(

@@ -217,6 +217,46 @@ def test_scaled_pipeline_on_mesh():
     assert res.svdvals.shape[0] >= 4
 
 
+def test_scaled_pipeline_blocked_regularization():
+    """Two-parameter per-operator-block Tikhonov search
+    (regularization="blocked"): the quadratic H block gets its own
+    shrinkage lambda_2, searched on a 2-D grid with the same 20-draw
+    screen. Mechanics + result-surface check on the 8-device CPU mesh."""
+    import pytest
+
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+    from gp_bayesopinf_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"draw": 4, "mode": 2})
+    kwargs = dict(
+        mesh=mesh,
+        n_space=128,
+        n_snapshots=300,
+        num_modes=4,
+        num_gp_samples=80,
+        num_regression_points=96,
+        n_restarts=2,
+        ndraws=16,
+        grid_size=5,
+        modelform="cAH",
+    )
+    res = run_scaled(regularization="blocked", **kwargs)
+    assert res.stable_fraction > 0.5
+    assert np.all(np.isfinite(res.ensemble_mean))
+    assert res.regularizer_quad is not None and res.regularizer_quad > 0
+    assert res.grid_errors.shape == (5, 5)
+
+    # The scalar path reports no quadratic regularizer.
+    res_scalar = run_scaled(regularization="scalar", **kwargs)
+    assert res_scalar.regularizer_quad is None
+
+    # Blocked mode requires a quadratic block to separate.
+    with pytest.raises(ValueError, match="no H operator"):
+        run_scaled(regularization="blocked", modelform="cA", **{
+            k: v for k, v in kwargs.items() if k != "modelform"
+        })
+
+
 def test_scaled_pipeline_checkpoint_resume(tmp_path):
     """The scaled pipeline checkpoints its fit stage (orbax) and a rerun
     resumes from it with identical results."""

@@ -117,6 +117,87 @@ def test_sampling_moments(problem):
     assert np.max(np.abs(emp - cov)) < 0.1 * np.abs(cov).max()
 
 
+def test_tikhonov_lstsq_precomputed(problem):
+    """TikhonovLSTSQ (amortized normal equations) must reproduce the
+    direct ``solve_tikhonov`` path and deliver correct posterior draw
+    moments for a non-spherical diagonal regularizer."""
+    from gp_bayesopinf_tpu.solve import TikhonovLSTSQ
+
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(
+        jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs)
+    )
+    tik = fac.tikhonov()
+    assert isinstance(tik, TikhonovLSTSQ)
+    d = D.shape[-1]
+    gamma = np.linspace(0.5, 2.0, d)
+
+    # Mean parity with the per-call normal-equations path (oracle-tested
+    # above in test_tikhonov_diagonal).
+    np.testing.assert_allclose(
+        np.asarray(tik.solve(jnp.asarray(gamma))),
+        np.asarray(fac.solve_tikhonov(jnp.asarray(gamma))),
+        rtol=1e-8,
+        atol=1e-10,
+    )
+    # Scalar and per-row broadcasting agree with the spectral solver.
+    np.testing.assert_allclose(
+        np.asarray(tik.solve(0.7)),
+        np.asarray(fac.solve(0.7)),
+        rtol=1e-7,
+        atol=1e-9,
+    )
+    assert bool(tik.posterior_spd(jnp.asarray(gamma)))
+
+    # Sampling moments: mean and covariance P^{-1} with
+    # P = Dt^T Dt + diag(gamma^2).
+    draws = np.asarray(
+        tik.sample(jnp.asarray(gamma), jax.random.PRNGKey(11), 20000)
+    )
+    mean = np.asarray(tik.solve(jnp.asarray(gamma)))
+    np.testing.assert_allclose(
+        draws.mean(axis=0), mean, atol=5e-2 * np.abs(mean).max() + 1e-3
+    )
+    for i in range(sqrtW.shape[0]):
+        Dt = np.vstack([sqrtW[i, b] @ D[b] for b in range(D.shape[0])])
+        P = Dt.T @ Dt + np.diag(gamma**2)
+        cov = np.linalg.inv(P)
+        emp = (
+            np.einsum("ni,nj->ij", draws[:, i] - mean[i], draws[:, i] - mean[i])
+            / draws.shape[0]
+        )
+        assert np.max(np.abs(emp - cov)) < 0.1 * np.abs(cov).max()
+
+
+def test_blocked_gamma_diag():
+    """Per-operator-block diagonal regularizer layout ("cAH": lam2 on the
+    quadratic columns, lam1 elsewhere)."""
+    from gp_bayesopinf_tpu.rom import blocked_gamma_diag, operator_splits
+
+    r = 4
+    g = np.asarray(
+        blocked_gamma_diag("cAH", r, lams={"c": 2.0, "A": 2.0, "H": 30.0})
+    )
+    spans = dict(
+        (name, (a, b)) for name, a, b in operator_splits("cAH", r)
+    )
+    assert g.shape == (1 + r + r * (r + 1) // 2,)
+    assert np.all(g[spans["c"][0] : spans["A"][1]] == 2.0)
+    assert np.all(g[spans["H"][0] : spans["H"][1]] == 30.0)
+    # Letters absent from lams fall back to the default.
+    g2 = np.asarray(
+        blocked_gamma_diag("cAHB", r, m=2, lams={"H": 5.0}, default=1.0)
+    )
+    assert np.all(g2[spans["H"][0] : spans["H"][1]] == 5.0)
+    assert np.all(g2[: spans["H"][0]] == 1.0) and np.all(
+        g2[spans["H"][1] :] == 1.0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocked_gamma_diag("cAH", r, lams={"X": 1.0})
+
+
 def test_per_row_regularizer(problem):
     """C-8 capability: a different scalar lambda per row."""
     D, sqrtW, rhs = problem
