@@ -307,8 +307,17 @@ def fit_gp_hyperparameters(
         T_pol, Y_pol = Ts[:, pidx], Ys[:, pidx]
     else:
         T_pol, Y_pol = Ts, Ys
+    # method="chol": the polish differentiates the NLML twice
+    # (``jax.hessian``), and jacfwd(jacrev) through the UNROLLED Cholesky
+    # builds an O(m * iters)-equation jaxpr — 115 s of pure Python tracing
+    # at m=90 on a 1-core host (measured round 3), vs seconds through the
+    # ``cholesky`` primitive's closed-form JVP. Runtime is a wash: the
+    # unrolled path only pays at screening's (mode x restart) batch width,
+    # not the polish's r instances.
     try:
-        z_pol, _ = _polish_all(T_pol, Y_pol, box_s, z_best, polish_iters)
+        z_pol, _ = _polish_all(
+            T_pol, Y_pol, box_s, z_best, polish_iters, method="chol"
+        )
     except Exception:  # pragma: no cover - axon toolchain fallback
         f64 = jnp.float64
         box64 = BoxTransform(box.lo.astype(f64), box.hi.astype(f64))
