@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.rbf import lstsq_kernel_matrices
 from ..ops.chol import spd_cholesky, spd_inverse_sqrt
+from ..utils.aotcache import aot_jit, register_namedtuple
 
 
 class GPEstimates(NamedTuple):
@@ -44,6 +45,32 @@ class GPEstimates(NamedTuple):
     def sqrtW(self):
         """Reference-compatible alias (meaningful for method='eigh')."""
         return self.weight_root
+
+
+# GPEstimates crosses the aot_jit export boundary below.
+register_namedtuple(GPEstimates, "gp_bayesopinf_tpu.GPEstimates")
+
+
+@aot_jit(static_argnames=("method",), host=True)
+def batched_gp_estimates(T, Y, t_est, sigma2, ell, chi, eta, method="eigh"):
+    """All-modes ``gp_estimates`` as ONE host-f64 program.
+
+    This is the package's second most expensive program to build per
+    process (the vmapped f64 kernel assembly + Cholesky + weight-root
+    graph took ~4 min of XLA:CPU compile on a 1-core container, round 3),
+    and the old per-call ``host_jit(vmap(lambda ...))`` wrapper also
+    re-TRACED it on every ``fit_gaussian_processes`` call.  Module-level
+    ``aot_jit(host=True)`` fixes both: one trace per signature per
+    machine, served from the serialized-program cache afterwards.
+
+    Parameters match ``gp_estimates`` with a leading mode axis on
+    ``T``/``Y``/hyperparameters; ``eta`` must be a scalar ARRAY (the AOT
+    cache bypasses on Python-scalar leaves).
+    """
+    fn = lambda t, y, s2, l, c: gp_estimates(  # noqa: E731
+        t, y, t_est, s2, l, c, eta=eta, method=method
+    )
+    return jax.vmap(fn)(T, Y, sigma2, ell, chi)
 
 
 def default_weight_method() -> str:

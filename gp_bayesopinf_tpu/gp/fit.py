@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import optax
 
 from .nlml import BoxTransform, nlml_in_box
+from ..utils.aotcache import aot_jit, register_namedtuple
 from ..utils.hostmath import host_jit
+
+# BoxTransform crosses the aot_jit export boundary below.
+register_namedtuple(BoxTransform, "gp_bayesopinf_tpu.BoxTransform")
 
 
 class FitResult(NamedTuple):
@@ -70,9 +74,15 @@ def _adam_screen(z0, fun, steps: int, lr: float):
     return jnp.where(better, z_fin, z0), jnp.where(better, val, val0)
 
 
-@partial(jax.jit, static_argnames=("n_restarts", "adam_steps"))
+@aot_jit(static_argnames=("n_restarts", "adam_steps"))
 def _screen_all(T, Y, box, keys, n_restarts, adam_steps, adam_lr):
-    """Phase 1: Adam screening of all (mode, restart) starts."""
+    """Phase 1: Adam screening of all (mode, restart) starts.
+
+    ``aot_jit``: the unrolled-Cholesky NLML makes this the single most
+    expensive program to TRACE in the package (~22 s per process at
+    SEIRD shapes on a 1-core host); the serialized export makes every
+    process after the first skip straight to the compiled program.
+    """
 
     def one_mode(t_i, y_i, key_i):
         fun = partial(nlml_in_box, box=box, t=t_i, y=y_i)
@@ -83,7 +93,7 @@ def _screen_all(T, Y, box, keys, n_restarts, adam_steps, adam_lr):
     return jax.vmap(one_mode)(T, Y, keys)
 
 
-@jax.jit
+@aot_jit(static_argnames=("method",))
 def _rank_full(T, Y, box, Z, method="auto"):
     """Evaluate the FULL-data NLML for every screened candidate — one
     batched Cholesky per (mode, restart) instance, so re-ranking costs one
@@ -140,7 +150,7 @@ def _newton_polish(z0, fun, maxiter: int):
     return z_fin, v_fin
 
 
-@partial(jax.jit, static_argnames=("polish_iters", "method"))
+@aot_jit(static_argnames=("polish_iters", "method"))
 def _polish_all(T, Y, box, z_best, polish_iters, method="auto"):
     """Phase 2: Newton polish from each mode's screening winner."""
 
@@ -175,10 +185,10 @@ def _select_winner(v, z):
 # would re-trace the polish/rank graphs every time (~2 s of fixed overhead
 # per fit measured on this machine).
 _polish_all_host = host_jit(
-    _polish_all, static_argnames=("polish_iters", "method")
+    _polish_all.__wrapped__, static_argnames=("polish_iters", "method")
 )
 _rank_full_host = host_jit(  # host f64 NLML (profiling/oracles)
-    _rank_full, static_argnames=("method",)
+    _rank_full.__wrapped__, static_argnames=("method",)
 )
 
 
@@ -280,7 +290,10 @@ def fit_gp_hyperparameters(
     else:
         T_scr, Y_scr = Ts, Ys
     z_scr, v_scr = _screen_all(
-        T_scr, Y_scr, box_s, keys, n_restarts, adam_steps, adam_lr
+        # lr as a committed fit_dtype scalar (not a weak Python float):
+        # the AOT program cache only keys pytrees of array leaves.
+        T_scr, Y_scr, box_s, keys, n_restarts, adam_steps,
+        jnp.asarray(adam_lr, fit_dtype),
     )
     if subsampled:
         # Re-rank every candidate by the FULL-data NLML.

@@ -207,20 +207,17 @@ def fit_gaussian_processes(
         polish_iters=polish_iters,
     )
 
-    from .estimates import default_weight_method
-    from ..utils.hostmath import host_jit
+    from .estimates import batched_gp_estimates, default_weight_method
 
     weight_method = weight_method or default_weight_method()
     T = jnp.broadcast_to(t_s, Y.shape) if t_s.ndim == 1 else t_s
     # Estimation factorizations need true f64 — host CPU device (see
-    # utils.hostmath); tiny work, LAPACK-grade accuracy.
-    ests = host_jit(
-        jax.vmap(
-            lambda t, y, s2, l, c: gp_estimates(
-                t, y, t_est, s2, l, c, eta=gp_regularizer, method=weight_method
-            )
-        )
-    )(T, Y, fit.sigma2, fit.ell, fit.chi)
+    # utils.hostmath); tiny work, LAPACK-grade accuracy. The module-level
+    # AOT-cached program avoids re-tracing per call / per process.
+    ests = batched_gp_estimates(
+        T, Y, t_est, fit.sigma2, fit.ell, fit.chi,
+        jnp.asarray(gp_regularizer, jnp.float64), method=weight_method,
+    )
 
     if not bool(jnp.all(ests.ok)):
         bad = np.where(~np.asarray(ests.ok))[0]
