@@ -16,6 +16,7 @@ loaded dense covariance via Cholesky. Draw = mean + F @ xi.
 """
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 from ..rom.model import GalerkinROM
 from ..solve.ivp import finite_mask, rk4_solve, stability_mask
 from ..solve.lstsq import WeightedLSTSQ
+from ..utils.aotcache import aot_jit
 
 
 def ensemble_dtype():
@@ -33,6 +35,62 @@ def ensemble_dtype():
     import jax as _jax
 
     return jnp.float32 if _jax.default_backend() == "tpu" else None
+
+
+# -- ensemble programs --------------------------------------------------------
+#
+# The vmapped ensemble integrations are the pipelines' hottest repeated
+# programs, and both ``BayesianROM`` and ``BayesianODE`` build them from
+# per-call closures. Hoisting them to module level with the (frozen,
+# hashable, stably-repr'd) model object as a *static* argument gives two
+# caching wins: jax.jit keys on (function identity, statics, avals), so
+# repeat calls in-process — the 600-draw ensemble followed by the new-IC
+# generalization ensemble, every reg-search objective evaluation — reuse
+# one compiled program; and ``aot_jit`` persists the traced+lowered
+# program across processes (utils.aotcache). A caller-supplied
+# ``input_func`` has no stable repr, so that variant caches in-process
+# only (keyed by function identity via lru_cache).
+
+
+@aot_jit(static_argnames=("model",))
+def _ode_ensemble(params, q0, t, *, model):
+    """Batched truth-model solves over posterior parameter draws."""
+    solve = lambda p: model.solve(q0, t, parameters=p)
+    return jax.vmap(solve)(params)
+
+
+@aot_jit(static_argnames=("model",))
+def _rom_ensemble(ohats, q0, t, *, model):
+    """Batched autonomous-ROM integrations over operator draws."""
+    predict = lambda O: model.predict(O, q0, t, None)
+    return jax.vmap(predict)(ohats)
+
+
+def _validity_mask(draws, stability_envelope):
+    """Finite/envelope rejection mask, co-located with the draws.
+
+    The envelope statistics are usually host-committed f64 (they come
+    from the hostmath estimation products) while the draws are
+    accelerator-committed integration output — mixing commitments in one
+    eager op raises, so the envelope is moved to the draws' device and
+    compared in the draws' dtype (the integration precision: comparing
+    an f32 trajectory against an f64 envelope adds no information)."""
+    if stability_envelope is None:
+        return finite_mask(draws)
+    shift, limits = stability_envelope
+    dev = list(draws.devices())[0]
+    shift = jax.device_put(jnp.asarray(shift).astype(draws.dtype), dev)
+    limits = jax.device_put(jnp.asarray(limits).astype(draws.dtype), dev)
+    return stability_mask(draws, shift, limits)
+
+
+@functools.lru_cache(maxsize=None)
+def _rom_ensemble_with_inputs(model, input_func):
+    def run(ohats, q0, t):
+        predict = lambda O: model.predict(O, q0, t, input_func)
+        return jax.vmap(predict)(ohats)
+
+    return jax.jit(run)
 
 
 class OperatorPosterior(NamedTuple):
@@ -147,17 +205,27 @@ class BayesianROM:
         if dtype is not None:
             ohats, q0, t = ohats.astype(dtype), q0.astype(dtype), t.astype(dtype)
         # Ensembles run on the accelerator even when the posterior moments
-        # were computed host-side (true-f64 policy, utils.hostmath).
-        ohats, q0, t = jax.device_put((ohats, q0, t))
+        # were computed host-side (true-f64 policy, utils.hostmath). The
+        # explicit target device matters: device_put with NO device is a
+        # no-op for host-committed arrays, and jit follows committed
+        # inputs — without it the whole vmapped integration lands on the
+        # 1-core host (measured: ~10 s vs ~0.2 s for the SEIRD ex1a
+        # 600-draw ensemble).
+        from ..utils.hostmath import to_accelerator
 
-        predict = lambda O: self.model.predict(O, q0, t, input_func)
-        draws = jax.vmap(predict)(ohats)
+        ohats, q0, t = to_accelerator((ohats, q0, t))
 
-        if stability_envelope is None:
-            valid = finite_mask(draws)
+        if input_func is None:
+            draws = _rom_ensemble(ohats, q0, t, model=self.model)
         else:
-            shift, limits = stability_envelope
-            valid = stability_mask(draws, shift, limits)
+            try:
+                program = _rom_ensemble_with_inputs(self.model, input_func)
+            except TypeError:  # unhashable model/input_func: trace inline
+                predict = lambda O: self.model.predict(O, q0, t, input_func)
+                program = lambda o, q, tt: jax.vmap(predict)(o)
+            draws = program(ohats, q0, t)
+
+        valid = _validity_mask(draws, stability_envelope)
         return draws, valid
 
 
@@ -230,12 +298,15 @@ class BayesianODE:
             params, q0, t = (
                 params.astype(dtype), q0.astype(dtype), t.astype(dtype)
             )
-        params, q0, t = jax.device_put((params, q0, t))
-        solve = lambda p: self.model.solve(q0, t, parameters=p)
-        draws = jax.vmap(solve)(params)
-        if stability_envelope is None:
-            valid = finite_mask(draws)
-        else:
-            shift, limits = stability_envelope
-            valid = stability_mask(draws, shift, limits)
+        # Explicit accelerator placement — see the note in
+        # BayesianROM.solution_posterior.
+        from ..utils.hostmath import to_accelerator
+
+        params, q0, t = to_accelerator((params, q0, t))
+        try:
+            draws = _ode_ensemble(params, q0, t, model=self.model)
+        except TypeError:  # unhashable duck-typed model: trace inline
+            solve = lambda p: self.model.solve(q0, t, parameters=p)
+            draws = jax.vmap(solve)(params)
+        valid = _validity_mask(draws, stability_envelope)
         return draws, valid

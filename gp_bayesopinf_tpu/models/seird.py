@@ -104,6 +104,42 @@ class SEIRD2:
             substeps=self.substeps,
         )
 
+    def _rhs_np(self, parameters=None):
+        """NumPy right-hand side (host truth solves, ``solve_host``)."""
+        import numpy as np
+
+        p1, p2, p3, p4 = (
+            self.parameters if parameters is None else tuple(parameters)
+        )
+
+        def f(t, q):
+            S, E, I = q[0], q[1], q[2]
+            dS = -p1 * S * I
+            dE = -dS - p2 * E
+            dR = p3 * I
+            dD = p4 * I
+            dI = p2 * E - dR - dD
+            return np.array([dS, dE, dI, dR, dD])
+
+        return f
+
+    def solve_host(self, initial_conditions, timepoints, parameters=None):
+        """Host NumPy twin of :meth:`solve` (identical RK4 stepping).
+
+        Truth-model data generation is the reference's scipy-on-host L1
+        stage; pipelines call this instead of the traced ``solve`` so the
+        stage costs milliseconds of NumPy instead of per-call retraces
+        and remote-compile round trips (see ``solve.ivp.rk4_solve_np``).
+        """
+        from ..solve.ivp import rk4_solve_np
+
+        return rk4_solve_np(
+            self._rhs_np(parameters),
+            initial_conditions,
+            timepoints,
+            substeps=self.substeps,
+        )
+
     def noise(self, key, states, noise_level=0.0):
         if not noise_level:
             return states
@@ -266,3 +302,21 @@ class SEIRD(SEIRD2):
         dR = (1 - alpha) * gamma * I
         dI = delta * E - dR - dD
         return jnp.stack([dS, dE, dI, dR, dD])
+
+    def _rhs_np(self, parameters=None):
+        import numpy as np
+
+        N, beta, delta, gamma, alpha, rho = (
+            self.parameters if parameters is None else tuple(parameters)
+        )
+
+        def f(t, q):
+            S, E, I = q[0], q[1], q[2]
+            dS = -beta * S * I / N
+            dE = -dS - delta * E
+            dD = alpha * rho * I
+            dR = (1 - alpha) * gamma * I
+            dI = delta * E - dR - dD
+            return np.array([dS, dE, dI, dR, dD])
+
+        return f

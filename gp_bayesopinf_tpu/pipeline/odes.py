@@ -41,6 +41,7 @@ from ..bayes import (
     auto_regularize,
 )
 from ..utils import key_from_seed, split_tree, TimedBlock
+from ..utils.hostmath import to_accelerator
 
 
 @dataclasses.dataclass
@@ -90,10 +91,14 @@ def sample_trajectory(
         return t.at[0].set(t0).at[-1].set(t1)
 
     key_t, key_n = jax.random.split(key)
-    q0 = jnp.asarray(config.initial_conditions)
+    q0 = np.asarray(config.initial_conditions)
+    # Truth solves run as host NumPy (the reference's scipy L1 stage) —
+    # see models.seird.SEIRD2.solve_host; only the noise draw uses jax.
     if synced:
         t = draw_times(key_t)
-        snaps = model.noise(key_n, model.solve(q0, t), noiselevel)
+        snaps = model.noise(
+            key_n, model.solve_host(q0, np.asarray(t)), noiselevel
+        )
         sample_times = jnp.broadcast_to(t, (nvars, num_samples))
     else:
         tkeys = jax.random.split(key_t, nvars)
@@ -101,7 +106,9 @@ def sample_trajectory(
         rows, times = [], []
         for i in range(nvars):
             t = draw_times(tkeys[i])
-            noised = model.noise(nkeys[i], model.solve(q0, t), noiselevel)
+            noised = model.noise(
+                nkeys[i], model.solve_host(q0, np.asarray(t)), noiselevel
+            )
             rows.append(noised[i])
             times.append(t)
         snaps = jnp.stack(rows)
@@ -138,17 +145,20 @@ def run_seird(
     t_pred = np.asarray(config.time_domain)
     q0 = np.asarray(config.initial_conditions)
 
-    # Step 1 — data generation. Truth solves run on the host CPU device:
-    # this is the reference's L1 stage (scipy there), and sequential f64
-    # scans are emulation-bound on TPU.
+    # Step 1 — data generation. Truth solves run as host NumPy: this is
+    # the reference's L1 stage (scipy there); a traced scan would retrace
+    # and remote-compile per call for milliseconds of f64 arithmetic
+    # (solve.ivp.rk4_solve_np). Random draws (times, noise) stay in jax.
     with TimedBlock("generating training data"):
+        true_states = model.solve_host(q0, t_pred)
         with jax.default_device(jax.devices("cpu")[0]):
-            true_states = model.solve(q0, t_pred)
             sample_times, snapshots = sample_trajectory(
                 keys["sample"], model, config, training_span,
                 num_samples, noiselevel, synced=synced, integersonly=integersonly,
             )
-        true_states, sample_times, snapshots = jax.device_put(
+        # Explicit accelerator placement: device_put with no target does
+        # not move host-committed arrays, and jit follows commitment.
+        true_states, sample_times, snapshots = to_accelerator(
             (true_states, sample_times, snapshots)
         )
 
@@ -166,6 +176,7 @@ def run_seird(
             gp_regularizer=gp_regularizer,
             key=keys["fit"],
         )
+        jax.block_until_ready([gp.sqrtW for gp in gps])  # honest stage timing
         if verbose:
             for i, gp in enumerate(gps):
                 print(f"[{model.LABELS[i]}] {gp}".replace("\n\t", "  "))
@@ -209,6 +220,7 @@ def run_seird(
         )
         posterior = OperatorPosterior.from_lstsq(fac, res.regularizer)
         bayesian_model = BayesianODE(model, posterior, res.regularizer)
+        jax.block_until_ready(posterior)  # honest stage timing
 
     # Dual-backend posterior comparison: independent native fit ->
     # NumPy/SciPy estimation + regression -> posterior, compared like the
@@ -230,17 +242,21 @@ def run_seird(
             dtype=ensemble_dtype(),
             stability_envelope=(shift, limits),
         )
+        jax.block_until_ready((draws, valid))  # honest stage timing
         if verbose and int((~valid).sum()):
             print(f"\n{int((~valid).sum())}/{ndraws} DRAWS UNSTABLE")
 
-    # Generalization test from unseen initial conditions.
-    newic_draws, newic_valid = bayesian_model.solution_posterior(
-        keys["newic"],
-        np.asarray(config.test_initial_conditions),
-        t_pred,
-        ndraws=ndraws,
-        dtype=ensemble_dtype(),
-    )
+    # Generalization test from unseen initial conditions (reuses the
+    # ensemble program compiled for the sampling stage above).
+    with TimedBlock("new-IC generalization ensemble"):
+        newic_draws, newic_valid = bayesian_model.solution_posterior(
+            keys["newic"],
+            np.asarray(config.test_initial_conditions),
+            t_pred,
+            ndraws=ndraws,
+            dtype=ensemble_dtype(),
+        )
+        jax.block_until_ready((newic_draws, newic_valid))
 
     return SEIRDResult(
         model=model,

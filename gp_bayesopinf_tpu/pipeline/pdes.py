@@ -29,6 +29,7 @@ from ..solve import weighted_lstsq_fit
 from ..bayes.posterior import ensemble_dtype
 from ..bayes import OperatorPosterior, BayesianROM, auto_regularize
 from ..utils import key_from_seed, split_tree, TimedBlock
+from ..utils.hostmath import to_accelerator
 
 
 @dataclasses.dataclass
@@ -103,7 +104,9 @@ def run_euler(
                 v_ref=config.v_ref, rho_ref=config.rho_ref,
             )
             snapshots_compressed = basis.compress(snapshots)
-        snapshots_compressed = jax.device_put(snapshots_compressed)
+        # Explicit accelerator placement (device_put with no target
+        # does not move host-committed arrays).
+        snapshots_compressed = to_accelerator(snapshots_compressed)
 
     # Step 2b — batched GP fits on the reduced coordinates.
     t_est = np.linspace(

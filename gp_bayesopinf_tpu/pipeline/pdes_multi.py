@@ -29,6 +29,7 @@ from ..solve import weighted_lstsq_fit
 from ..bayes.posterior import ensemble_dtype
 from ..bayes import OperatorPosterior, BayesianROM, auto_regularize
 from ..utils import key_from_seed, split_tree, TimedBlock
+from ..utils.hostmath import to_accelerator
 
 
 def input_func_factory(params):
@@ -128,8 +129,10 @@ def run_heat_multi(
                 np.hstack(snapshots), num_vectors=num_pod_modes
             )
             snapshots_compressed = [basis.compress(s) for s in snapshots]
+        # Explicit accelerator placement (device_put with no target
+        # does not move host-committed arrays).
         snapshots_compressed = [
-            jax.device_put(s) for s in snapshots_compressed
+            to_accelerator(s) for s in snapshots_compressed
         ]
 
     # Step 2b — batched GP fits for all (trajectory, mode) pairs at once.

@@ -147,6 +147,48 @@ def rk4_solve(
     return jnp.concatenate([q0[None, :], qs], axis=0).T
 
 
+def rk4_solve_np(
+    rhs: Callable,
+    q0,
+    t_eval,
+    substeps: int = 8,
+):
+    """NumPy twin of :func:`rk4_solve` for host-side truth solves.
+
+    The reference's L1 data-generation stage is scipy on the host
+    (``models/ode_models.py:78-126``); the TPU framework keeps that stage
+    on the host too, but a traced-and-compiled ``lax.scan`` is the wrong
+    tool for it — each pipeline call builds a fresh closure, so the
+    program retraces and (through the remote XLA compile helper) pays a
+    multi-second round trip per *call* for a solve whose arithmetic takes
+    milliseconds. This mirror runs the identical stepping (same operation
+    order, f64) as straight NumPy: no tracing, no compiles, no device.
+
+    Same contract as ``rk4_solve``: returns (n, k) states at ``t_eval``
+    with diverging trajectories clamped to the sentinel.
+    """
+    import numpy as np
+
+    q = np.asarray(q0, dtype=np.float64).copy()
+    t = np.asarray(t_eval, dtype=np.float64)
+    out = np.empty((t.size, q.size), dtype=np.float64)
+    out[0] = q
+    for i in range(t.size - 1):
+        t0 = t[i]
+        h = (t[i + 1] - t0) / substeps
+        for s in range(substeps):
+            ts = t0 + s * h
+            k1 = rhs(ts, q)
+            k2 = rhs(ts + 0.5 * h, q + 0.5 * h * k1)
+            k3 = rhs(ts + 0.5 * h, q + 0.5 * h * k2)
+            k4 = rhs(ts + h, q + h * k3)
+            q = np.clip(
+                q + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), -1e18, 1e18
+            )
+        out[i + 1] = q
+    return out.T
+
+
 _GAMMA = 1.0 - 0.5 * 2.0**0.5  # SDIRK2 (Alexander) stage coefficient.
 
 

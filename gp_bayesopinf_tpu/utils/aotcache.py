@@ -248,7 +248,14 @@ class _AOTJit:
             return self._call_plain(args, kwargs)
         dyn_vals = self._place(dyn_vals)
         with self._device_ctx():
-            return call(*dyn_vals)
+            try:
+                return call(*dyn_vals)
+            except ValueError:
+                # The digest keys on avals, not committed devices: a
+                # memoized platform-pinned export raises if this call's
+                # arrays are committed elsewhere (e.g. host-committed
+                # args reaching a TPU program). Serve it via plain jit.
+                return self._call_plain(args, kwargs)
 
 
 def aot_jit(fn: Callable = None, *, static_argnames: Sequence[str] = (),
