@@ -448,7 +448,18 @@ def auto_regularize(
             return call
 
         batched = _kernel_call("fn")
-        single = lambda lam, k: batched(jnp.asarray(lam)[None], k[None])[0]
+        # Single-candidate evaluations (the bounded refinement) pad the
+        # candidate to the grid phase's chunk width and reuse ITS program:
+        # a dedicated G=1 program would cost its own multi-MB executable
+        # — a real per-process load through the accelerator tunnel and a
+        # separate cold compile — for identical decisions (each padded
+        # slot is an independent copy; slot 0 is returned).
+        _single_width = min(16, max(len(grid), 1))
+
+        def single(lam, k):
+            lams = jnp.broadcast_to(jnp.asarray(lam), (_single_width,))
+            ks = jnp.broadcast_to(k[None], (_single_width,) + k.shape)
+            return batched(lams, ks)[0]
     else:
         if screen_dtype is None and _jax.default_backend() == "tpu":
             # No native f64 on TPU; screening tolerates f32 by design.
@@ -527,6 +538,12 @@ def auto_regularize(
             print(f"Best regularization via gridsearch: {best_reg:.4e}")
 
     # Bounded 1-D refinement in log10 space (host-driven, device-evaluated).
+    # ONE frozen key for every objective evaluation: minimize_scalar needs
+    # a deterministic objective (fresh draws per evaluation would jitter
+    # the bracketing), and the 600-draw lambda-ladder study showed final
+    # retention is FLAT across ten decades of lambda — the basin is wide
+    # and the frozen-key choice does not bias the selection
+    # (docs/ex1a_stability_study.md).
     refine_key = jax.random.fold_in(key, 0x5EED)
 
     def host_objective(logreg):

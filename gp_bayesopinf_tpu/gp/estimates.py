@@ -81,6 +81,88 @@ def default_weight_method() -> str:
     return "chol" if _jax.default_backend() == "tpu" else "eigh"
 
 
+def numpy_batched_gp_estimates(T, Y, t_est, sigma2, ell, chi, eta,
+                               method="eigh") -> GPEstimates:
+    """Direct-LAPACK (NumPy/SciPy) twin of ``batched_gp_estimates``.
+
+    Same math to LAPACK roundoff — kernel assembly per ``ops.rbf``
+    closed forms, Cholesky solves, and the eigh/chol weight root of
+    reference ``codebase/gpkernels.py:445-504`` — but with NO tracing,
+    lowering, or XLA compilation.  That matters per *process*: the host
+    XLA program cannot be served from the AOT export cache on
+    accelerator sessions (the cross-platform call segfault, CLAUDE.md),
+    so every fresh process re-paid ~2 s of trace+XLA:CPU compile for
+    milliseconds of arithmetic.  Outputs are host-committed jax arrays,
+    exactly like the host-XLA path, so downstream device placement is
+    unchanged.
+    """
+    import numpy as np
+    import scipy.linalg as la
+
+    from ..utils.hostmath import host_device
+
+    T = np.asarray(T, np.float64)
+    Y = np.atleast_2d(np.asarray(Y, np.float64))
+    if T.ndim == 1:
+        T = np.broadcast_to(T, Y.shape)
+    te = np.asarray(t_est, np.float64)
+    s2s = np.broadcast_to(np.asarray(sigma2, np.float64), (Y.shape[0],))
+    ells = np.broadcast_to(np.asarray(ell, np.float64), (Y.shape[0],))
+    chis = np.broadcast_to(np.asarray(chi, np.float64), (Y.shape[0],))
+    eta = float(np.asarray(eta))
+
+    states, ddts, covs, roots, oks = [], [], [], [], []
+    eye_est = np.eye(te.size)
+    for i in range(Y.shape[0]):
+        t, y = T[i], Y[i]
+        s2, l, c = float(s2s[i]), float(ells[i]), float(chis[i])
+        ell2 = l * l
+
+        dyy = t[:, None] - t[None, :]
+        K_yy = s2 * np.exp(-(dyy * dyy) / (2.0 * ell2)) + c * np.eye(t.size)
+        dzy = te[:, None] - t[None, :]
+        kappa_zy = s2 * np.exp(-(dzy * dzy) / (2.0 * ell2))
+        K_zy = -dzy * kappa_zy / ell2
+        dzz = te[:, None] - te[None, :]
+        K_zz = (
+            (1.0 - dzz * dzz / ell2)
+            * (s2 * np.exp(-(dzz * dzz) / (2.0 * ell2)))
+            / ell2
+        )
+
+        cho = la.cho_factor(K_yy, lower=True)
+        alpha = la.cho_solve(cho, y)
+        states.append(kappa_zy @ alpha)
+        ddts.append(K_zy @ alpha)
+        V = la.cho_solve(cho, K_zy.T)
+        cross = K_zy @ V
+        C = K_zz - 0.5 * (cross + cross.T)
+        covs.append(C)
+
+        if method == "eigh":
+            w, Q = la.eigh(C + eta * eye_est)
+            oks.append(bool(np.all(w > 0)))
+            w_safe = np.where(w > 0, w, 1.0)
+            roots.append((Q / np.sqrt(w_safe)) @ Q.T)
+        elif method == "chol":
+            try:
+                L = la.cholesky(C + eta * eye_est, lower=True)
+                oks.append(True)
+            except la.LinAlgError:
+                L = np.full_like(C, np.nan)
+                oks.append(False)
+            roots.append(L)
+        else:
+            raise ValueError(f"unknown weight method '{method}'")
+
+    dev = host_device()
+    put = lambda x: jax.device_put(jnp.asarray(np.stack(x)), dev)
+    return GPEstimates(
+        put(states), put(ddts), put(covs), put(roots),
+        jax.device_put(jnp.asarray(np.asarray(oks)), dev),
+    )
+
+
 def gp_estimates(
     t: jnp.ndarray,
     y: jnp.ndarray,

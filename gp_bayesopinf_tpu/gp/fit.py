@@ -209,11 +209,11 @@ def fit_gp_hyperparameters(
     box: BoxTransform,
     key: jax.Array,
     n_restarts: int = 50,
-    adam_steps: int = 100,
-    adam_lr: float = 0.08,
+    adam_steps: int = 60,
+    adam_lr: float = 0.1,
     polish_iters: int = 10,
     fit_dtype=None,
-    screen_points: Optional[int] = 64,
+    screen_points: Optional[int] = 32,
     polish_points: Optional[int] = 128,
 ) -> FitResult:
     """Fit RBF+white GP hyperparameters for every row of Y at once.
@@ -242,18 +242,28 @@ def fit_gp_hyperparameters(
     key : PRNG key for restart sampling.
     n_restarts : int
         Random restarts in addition to the default start.
-    adam_steps, adam_lr : screening descent budget.
+    adam_steps, adam_lr : screening descent budget. The screen only has
+        to land each mode's best restart in the right BASIN — the
+        full-data re-rank plus Newton polish finish the job — so the
+        budget is deliberately short (round-4 analysis: the fit stage is
+        bound by the sequential critical path adam_steps x unrolled
+        factorization depth, not FLOPs; 60 steps at lr 0.1 reproduces the
+        100-step/0.08 selections on every pipeline workload).
     polish_iters : Newton iterations from each mode's screening winner
         (converges in <= 8 from a screened basin; the default has margin).
     fit_dtype : optimization dtype (see ``default_fit_dtype``).
     screen_points : optional int
         When the training set is larger than this, the Adam screening
         descends on an evenly-strided subset of this many points — the
-        per-step Cholesky is O(m^3), so screening at 64 of 200 points is
-        ~30x cheaper. Basin SELECTION stays exact: every candidate is then
-        re-ranked by its full-data NLML (one batched Cholesky,
+        per-step Cholesky is O(m^3), so screening at 32 of 200 points is
+        ~200x cheaper. Basin SELECTION stays exact: every candidate is
+        then re-ranked by its full-data NLML (one batched Cholesky,
         ``_rank_full``) before the Newton polish. None disables
-        subsampling.
+        subsampling. The default 32 (was 64, round 3) also halves the
+        screening program's unrolled-Cholesky footprint — its compiled
+        executable is the largest binary the warm-process path ships to
+        the accelerator, and on a tunneled backend the per-process load
+        is ~1 s/MB (measured round 4).
     polish_points : optional int
         Same strided-subsample cap for the Newton polish (its Hessian
         evaluations are also O(m^3) per iteration). None polishes on the

@@ -27,6 +27,13 @@ from .fit import FitResult, fit_gp_hyperparameters
 from .nlml import BoxTransform
 from ..ops.rbf import rbf
 
+# ``weight_method="auto"`` switches to the factored low-rank weight root
+# (gp/lowrank.py) at this many estimation points — where the dense
+# (m' x m') factorization starts to dominate (same threshold as
+# pipeline.scaled; reference watchdogged cost: codebase/gpkernels.py:496-504
+# under PDEs/step2_fitgps.py:61).
+LOWRANK_MIN_POINTS = 1024
+
 
 @dataclasses.dataclass
 class GaussianProcess:
@@ -45,7 +52,9 @@ class GaussianProcess:
     ddt_covariance: Optional[jnp.ndarray] = None
     sqrtW: Optional[jnp.ndarray] = None  # weight root (see weight_method)
     weight_method: str = "eigh"  # 'eigh': sqrtW = (C+eta I)^{-1/2};
-    #                              'chol': sqrtW holds chol(C+eta I)
+    #                              'chol': sqrtW holds chol(C+eta I);
+    #                              'lowrank': factored root in lowrank_root
+    lowrank_root: Optional[object] = None  # gp.lowrank.LowRankWeightRoot
 
     @property
     def nsamples(self) -> int:
@@ -146,6 +155,13 @@ class GaussianProcess:
                 value = getattr(self, name)
                 if value is not None:
                     payload[name] = np.asarray(value)
+        if self.lowrank_root is not None:
+            root = self.lowrank_root
+            payload["lowrank_Q"] = np.asarray(root.Q)
+            payload["lowrank_gain"] = np.asarray(root.gain)
+            payload["lowrank_lam"] = np.asarray(root.lam)
+            payload["lowrank_eta"] = float(root.eta)
+            payload["lowrank_resid"] = float(root.resid)
         np.savez(path, **payload)
 
     @staticmethod
@@ -163,6 +179,13 @@ class GaussianProcess:
                 for name in GaussianProcess._EST_FIELDS:
                     if name in z:
                         setattr(gp, name, jnp.asarray(z[name]))
+            if "lowrank_Q" in z:
+                from .lowrank import LowRankWeightRoot
+
+                gp.lowrank_root = LowRankWeightRoot(
+                    z["lowrank_Q"], z["lowrank_gain"], z["lowrank_lam"],
+                    float(z["lowrank_eta"]), float(z["lowrank_resid"]),
+                )
         return gp
 
 
@@ -176,7 +199,7 @@ def fit_gaussian_processes(
     n_restarts_optimizer: int = 50,
     gp_regularizer: float = 1e-8,
     key=None,
-    adam_steps: int = 100,
+    adam_steps: int = 60,
     polish_iters: int = 10,
     weight_method: Optional[str] = None,
 ):
@@ -191,6 +214,8 @@ def fit_gaussian_processes(
     -------
     list of ``GaussianProcess`` (estimation products populated).
     """
+    import os
+
     if key is None:
         key = jax.random.PRNGKey(0)
     Y = jnp.atleast_2d(jnp.asarray(snapshots_sampled))
@@ -207,17 +232,46 @@ def fit_gaussian_processes(
         polish_iters=polish_iters,
     )
 
-    from .estimates import batched_gp_estimates, default_weight_method
+    from .estimates import default_weight_method
 
-    weight_method = weight_method or default_weight_method()
+    weight_method = weight_method or "auto"
+    if weight_method == "auto":
+        weight_method = (
+            "lowrank"
+            if t_est.shape[0] >= LOWRANK_MIN_POINTS
+            else default_weight_method()
+        )
     T = jnp.broadcast_to(t_s, Y.shape) if t_s.ndim == 1 else t_s
-    # Estimation factorizations need true f64 — host CPU device (see
-    # utils.hostmath); tiny work, LAPACK-grade accuracy. The module-level
-    # AOT-cached program avoids re-tracing per call / per process.
-    ests = batched_gp_estimates(
-        T, Y, t_est, fit.sigma2, fit.ell, fit.chi,
-        jnp.asarray(gp_regularizer, jnp.float64), method=weight_method,
-    )
+
+    # Hyperparameters sync to the host here either way — estimation is
+    # host-f64 work (utils.hostmath policy).
+    sigma2 = np.asarray(fit.sigma2, np.float64)
+    ell = np.asarray(fit.ell, np.float64)
+    chi = np.asarray(fit.chi, np.float64)
+
+    if weight_method == "lowrank":
+        return _fit_lowrank_gps(
+            T, Y, t_est, sigma2, ell, chi, float(gp_regularizer)
+        )
+
+    # Estimation factorizations need true f64 — host LAPACK (see
+    # utils.hostmath); tiny work, LAPACK-grade accuracy. Default path is
+    # direct NumPy/SciPy (zero per-process tracing/compilation — the host
+    # XLA program can't be AOT-served on accelerator sessions, CLAUDE.md);
+    # GPBOI_NP_EST=0 restores the batched host-XLA program.
+    from .estimates import batched_gp_estimates, numpy_batched_gp_estimates
+
+    if os.environ.get("GPBOI_NP_EST", "1") != "0":
+        ests = numpy_batched_gp_estimates(
+            T, Y, t_est, sigma2, ell, chi, gp_regularizer,
+            method=weight_method,
+        )
+    else:
+        ests = batched_gp_estimates(
+            T, Y, t_est, jnp.asarray(sigma2), jnp.asarray(ell),
+            jnp.asarray(chi), jnp.asarray(gp_regularizer, jnp.float64),
+            method=weight_method,
+        )
 
     if not bool(jnp.all(ests.ok)):
         bad = np.where(~np.asarray(ests.ok))[0]
@@ -231,9 +285,9 @@ def fit_gaussian_processes(
         gp = GaussianProcess(
             T[i],
             Y[i],
-            float(fit.sigma2[i]),
-            float(fit.ell[i]),
-            float(fit.chi[i]),
+            float(sigma2[i]),
+            float(ell[i]),
+            float(chi[i]),
             t_estimation=t_est,
             state_estimate=ests.state_estimate[i],
             ddt_estimate=ests.ddt_estimate[i],
@@ -242,4 +296,47 @@ def fit_gaussian_processes(
             weight_method=weight_method,
         )
         gps.append(gp)
+    return gps
+
+
+def _fit_lowrank_gps(T, Y, t_est, sigma2, ell, chi, eta):
+    """Per-mode factored-root estimation (``gp.lowrank``): O(m' p^2)
+    pivoted-Cholesky + Woodbury roots instead of dense (m' x m')
+    factorizations — the m'-scaling path (SURVEY §2e), now reachable from
+    the reference workloads (ex1c/ex2c at m'=3200,
+    ``/root/reference/PDEs/experiments.sh:14,24``).
+
+    The dense ``ddt_covariance``/``sqrtW`` attributes stay ``None``; the
+    factored root lives in ``GaussianProcess.lowrank_root`` and downstream
+    regressions apply it via ``LowRankWeightRoot.apply`` (two thin
+    matmuls per right-hand side)."""
+    from .lowrank import lowrank_gp_estimates
+    from ..utils.hostmath import host_device
+
+    T_np = np.asarray(T, np.float64)
+    Y_np = np.asarray(Y, np.float64)
+    te = np.asarray(t_est, np.float64)
+    dev = host_device()
+    put = lambda x: jax.device_put(jnp.asarray(x), dev)
+
+    gps = []
+    for i in range(Y_np.shape[0]):
+        est = lowrank_gp_estimates(
+            T_np[i], Y_np[i], te,
+            float(sigma2[i]), float(ell[i]), float(chi[i]), eta=eta,
+        )
+        gps.append(
+            GaussianProcess(
+                jnp.asarray(T_np[i]),
+                jnp.asarray(Y_np[i]),
+                float(sigma2[i]),
+                float(ell[i]),
+                float(chi[i]),
+                t_estimation=jnp.asarray(te),
+                state_estimate=put(est.state_estimate),
+                ddt_estimate=put(est.ddt_estimate),
+                weight_method="lowrank",
+                lowrank_root=est.root,
+            )
+        )
     return gps

@@ -81,6 +81,13 @@ class LowRankWeightRoot(NamedTuple):
             np.eye(m) - (self.Q * self.gain[None, :]) @ self.Q.T
         ) / np.sqrt(self.eta)
 
+    def covariance(self) -> np.ndarray:
+        """Dense C ~= Q diag(lam) Q^T from the retained eigenpairs — for
+        consumers of the reference's ``ddt_covariance`` artifact (e.g. the
+        derivative-comparison export, ``PDEs/main.py:208-255``); the
+        neglected tail is below the factorization tolerance."""
+        return (self.Q * self.lam[None, :]) @ self.Q.T
+
 
 class LowRankEstimates(NamedTuple):
     """Per-mode GP estimation products with a factored weight root.

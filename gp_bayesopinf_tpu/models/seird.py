@@ -124,13 +124,32 @@ class SEIRD2:
         return f
 
     def solve_host(self, initial_conditions, timepoints, parameters=None):
-        """Host NumPy twin of :meth:`solve` (identical RK4 stepping).
+        """Host twin of :meth:`solve` (identical RK4 stepping).
 
         Truth-model data generation is the reference's scipy-on-host L1
         stage; pipelines call this instead of the traced ``solve`` so the
-        stage costs milliseconds of NumPy instead of per-call retraces
-        and remote-compile round trips (see ``solve.ivp.rk4_solve_np``).
+        stage costs milliseconds instead of per-call retraces and
+        remote-compile round trips. The 4-parameter model dispatches to
+        the native C++ core's RK4 (``native/gpboi_native.cpp``,
+        ``gpboi_seird2_solve`` — same stepping, same FP expression order):
+        the pure-Python interpreter overhead of ``rk4_solve_np`` is
+        ~100 us per substep, which at the prediction grid (500 points x 8
+        substeps) costs seconds per pipeline run for microseconds of
+        arithmetic.
         """
+        import numpy as np
+
+        params = self.parameters if parameters is None else parameters
+        if self.num_parameters == 4 and len(tuple(np.asarray(params))) == 4:
+            from .. import native as native_mod
+
+            if native_mod.available():
+                return native_mod.seird2_solve(
+                    np.asarray(params, np.float64),
+                    initial_conditions,
+                    timepoints,
+                    substeps=self.substeps,
+                )
         from ..solve.ivp import rk4_solve_np
 
         return rk4_solve_np(

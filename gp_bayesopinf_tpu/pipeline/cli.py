@@ -61,11 +61,32 @@ def build_parser() -> argparse.ArgumentParser:
 
     heat = subs.add_parser("heat", help="multi-trajectory cubic heat (PDEsMulti/)")
     _common(heat, modes=True)
+
+    warm = subs.add_parser(
+        "warmup",
+        help="seed the persistent compile + AOT program caches by running "
+        "the flagship workloads once (deployment cold-start answer: the "
+        "first process after a code/version change pays minutes of "
+        "XLA:TPU compiles; every later process loads cached executables)",
+    )
+    warm.add_argument(
+        "pipelines", nargs="*", default=["seird", "euler", "heat"],
+        choices=["seird", "euler", "heat"],
+        help="which pipelines to warm (default: all three)",
+    )
+    warm.add_argument(
+        "--ndraws", type=int, default=600,
+        help="ensemble size to compile for (program shapes key on it; "
+        "the paper grids use 600)",
+    )
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.pipeline == "warmup":
+        return _warmup(args.pipelines, args.ndraws)
 
     # Observability tier (reference behavior: every run logs to log.log,
     # creates a dated figures folder, and writes report.txt —
@@ -123,6 +144,35 @@ def main(argv=None):
         if not args.nolog:
             logging.info(f"artifacts exported with prefix {args.exportto}")
     return result
+
+
+def _warmup(pipelines, ndraws):
+    """Run the flagship workloads once to populate every persistent cache.
+
+    Seeds (a) the XLA compilation cache (compiled executables keyed on
+    jaxpr + backend), (b) the AOT program cache (serialized lowered
+    programs keyed on the package-source digest, ``utils.aotcache``), and
+    (c) the small-program entries the eager host ops dispatch. After this
+    command, a fresh process runs each pipeline at warm-process cost
+    (BASELINE.md "warm" rows) instead of paying minutes of first-compile.
+    """
+    import time
+
+    from .experiments import run_workload
+
+    flagship = {"seird": "ex1a", "euler": "ex1a", "heat": "ex3"}
+    for name in pipelines:
+        t0 = time.time()
+        print(f"[warmup] {name} {flagship[name]} (ndraws={ndraws}) ...",
+              flush=True)
+        run_workload(name, flagship[name], ndraws=ndraws, verbose=False)
+        print(f"[warmup] {name} done in {time.time() - t0:.1f} s", flush=True)
+    import os
+
+    print(
+        "[warmup] caches ready under "
+        + os.path.expanduser("~/.cache/gp_bayesopinf_tpu/")
+    )
 
 
 def _run(args):

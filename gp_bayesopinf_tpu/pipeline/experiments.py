@@ -13,8 +13,8 @@ EULER_WORKLOADS: Dict[str, Tuple] = {
     "ex1a": (0.06, 200, 0.03, 400, 6),
     "ex1b": (0.06, 200, 0.03, 50, 6),
     "ex1c": (0.06, 200, 0.03, 3200, 6),
-    "ex1noise1": (0.06, 200, 0.01, 400, 6),
-    "ex1noise5": (0.06, 200, 0.05, 400, 6),
+    "ex1d": (0.06, 200, 0.01, 400, 6),  # 1% noise (reference label)
+    "ex1e": (0.06, 200, 0.05, 400, 6),  # 5% noise (reference label)
     "ex1r8": (0.06, 200, 0.03, 400, 8),
     # PDEs/experiments.sh:22-26 — sparse-data workloads.
     "ex2a": (0.06, 50, 0.01, 400, 6),
@@ -28,10 +28,10 @@ EULER_WORKLOADS: Dict[str, Tuple] = {
 SEIRD_WORKLOADS: Dict[str, Tuple] = {
     # ODEs/experiments.sh:11-18.
     "ex1a": (90, 90, 0.10, 360),
-    "ex1b": (60, 60, 0.10, 240),
-    "ex1c": (120, 120, 0.10, 480),
+    "ex1c": (60, 60, 0.10, 240),  # reference labels: no ex1b/ex2b
+    "ex1d": (120, 120, 0.10, 480),
     "ex2a": (120, 10, 0.05, 480),
-    "ex2b": (60, 10, 0.05, 240),
+    "ex2c": (60, 10, 0.05, 240),
     "ex2d": (90, 10, 0.05, 360),
 }
 

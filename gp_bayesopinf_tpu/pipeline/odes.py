@@ -187,12 +187,17 @@ def run_seird(
     with TimedBlock("constructing posterior hyperparameters\n"):
         state_est = jnp.stack([gp.state_estimate for gp in gps])
         D_blocks = model.data_matrix_blocks(state_est)
-        sqrtW = jnp.stack([gp.sqrtW for gp in gps])[None]
         rhs = jnp.stack([gp.ddt_estimate for gp in gps])[None]
-        fac = weighted_lstsq_fit(
-            D_blocks, sqrtW, rhs,
-            weights_are_cholesky=(gps[0].weight_method == "chol"),
-        )
+        if gps[0].weight_method == "lowrank":
+            fac = weighted_lstsq_fit(
+                D_blocks, [[gp.lowrank_root for gp in gps]], rhs
+            )
+        else:
+            sqrtW = jnp.stack([gp.sqrtW for gp in gps])[None]
+            fac = weighted_lstsq_fit(
+                D_blocks, sqrtW, rhs,
+                weights_are_cholesky=(gps[0].weight_method == "chol"),
+            )
 
         # SEIRD2's RHS is exactly quadratic, so parameter draws map to
         # "cAH" operator rows (``model.cah_operators``) and the search's
@@ -233,7 +238,10 @@ def run_seird(
             xcheck.update(_compare_posteriors(bayesian_model, mean2, cov2,
                                               verbose=verbose))
 
-    # Step 4 — posterior ensembles.
+    # Step 4 — posterior ensembles. Stage timing forces a REAL readback
+    # (np.asarray): under the axon tunnel ``block_until_ready`` returns at
+    # enqueue time, which previously hid the execution + transfer outside
+    # the timed blocks (in the result assembly).
     with TimedBlock("sampling posterior distribution"):
         shift = jnp.mean(state_est, axis=1)
         limits = 5.0 * jnp.max(jnp.abs(state_est - shift[:, None]), axis=1)
@@ -242,7 +250,7 @@ def run_seird(
             dtype=ensemble_dtype(),
             stability_envelope=(shift, limits),
         )
-        jax.block_until_ready((draws, valid))  # honest stage timing
+        draws, valid = np.asarray(draws), np.asarray(valid)
         if verbose and int((~valid).sum()):
             print(f"\n{int((~valid).sum())}/{ndraws} DRAWS UNSTABLE")
 
@@ -256,7 +264,8 @@ def run_seird(
             ndraws=ndraws,
             dtype=ensemble_dtype(),
         )
-        jax.block_until_ready((newic_draws, newic_valid))
+        newic_draws = np.asarray(newic_draws)
+        newic_valid = np.asarray(newic_valid)
 
     return SEIRDResult(
         model=model,
@@ -268,10 +277,10 @@ def run_seird(
         snapshots=np.asarray(snapshots),
         t_estimation=t_est,
         gps=gps,
-        draws=np.asarray(draws),
-        valid=np.asarray(valid),
-        newic_draws=np.asarray(newic_draws),
-        newic_valid=np.asarray(newic_valid),
+        draws=draws,
+        valid=valid,
+        newic_draws=newic_draws,
+        newic_valid=newic_valid,
         crosscheck=xcheck,
     )
 

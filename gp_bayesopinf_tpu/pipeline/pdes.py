@@ -138,12 +138,19 @@ def run_euler(
     with TimedBlock("constructing posterior hyperparameters\n"):
         state_est = jnp.stack([gp.state_estimate for gp in gps])
         D = rom.data_matrix(state_est)[None]  # (1, m', d)
-        sqrtW = jnp.stack([gp.sqrtW for gp in gps])[:, None]  # (r, 1, m', m')
         rhs = jnp.stack([gp.ddt_estimate for gp in gps])[:, None]  # (r, 1, m')
-        fac = weighted_lstsq_fit(
-            D, sqrtW, rhs,
-            weights_are_cholesky=(gps[0].weight_method == "chol"),
-        )
+        if gps[0].weight_method == "lowrank":
+            # Factored roots (m' >= 1024, e.g. ex1c/ex2c at m'=3200):
+            # applied as thin matmuls, never materializing (m' x m').
+            fac = weighted_lstsq_fit(
+                D, [gp.lowrank_root for gp in gps], rhs
+            )
+        else:
+            sqrtW = jnp.stack([gp.sqrtW for gp in gps])[:, None]
+            fac = weighted_lstsq_fit(
+                D, sqrtW, rhs,
+                weights_are_cholesky=(gps[0].weight_method == "chol"),
+            )
 
         predict_fn = lambda O, q, t: rom.predict(O, q, t)
         res = auto_regularize(
@@ -176,6 +183,9 @@ def run_euler(
             dtype=ensemble_dtype(),
             stability_envelope=(qbar, bound),
         )
+        # Real readback inside the timed stage (block_until_ready returns
+        # at enqueue under the axon tunnel; see odes.py).
+        draws_c, valid = np.asarray(draws_c), np.asarray(valid)
         if verbose and int((~valid).sum()):
             print(f"\n{int((~valid).sum())}/{ndraws} draws unstable")
 
@@ -245,7 +255,11 @@ def _derivative_comparison_data_impl(
     stds = []
     for i, gp in enumerate(gps):
         kd = jax.random.fold_in(key, i)
-        C = 0.5 * (gp.ddt_covariance + gp.ddt_covariance.T)
+        if gp.ddt_covariance is None:  # lowrank path: reconstruct
+            cov = jnp.asarray(gp.lowrank_root.covariance())
+        else:
+            cov = gp.ddt_covariance
+        C = 0.5 * (cov + cov.T)
         w, V = jnp.linalg.eigh(C)
         factor = V * jnp.sqrt(jnp.clip(w, 0.0))[None, :]
         z = jax.random.normal(kd, (ndraws, C.shape[0]))

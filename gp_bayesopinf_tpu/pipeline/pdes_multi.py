@@ -180,22 +180,29 @@ def run_heat_multi(
                 for ell in range(L)
             ]
         )  # (L, m', d)
-        sqrtW = jnp.stack(
-            [
-                jnp.stack([gps[ell][i].sqrtW for ell in range(L)])
-                for i in range(num_pod_modes)
-            ]
-        )  # (r, L, m', m')
         rhs = jnp.stack(
             [
                 jnp.stack([gps[ell][i].ddt_estimate for ell in range(L)])
                 for i in range(num_pod_modes)
             ]
         )  # (r, L, m')
-        fac = weighted_lstsq_fit(
-            D_blocks, sqrtW, rhs,
-            weights_are_cholesky=(gps[0][0].weight_method == "chol"),
-        )
+        if gps[0][0].weight_method == "lowrank":
+            roots = [
+                [gps[ell][i].lowrank_root for ell in range(L)]
+                for i in range(num_pod_modes)
+            ]
+            fac = weighted_lstsq_fit(D_blocks, roots, rhs)
+        else:
+            sqrtW = jnp.stack(
+                [
+                    jnp.stack([gps[ell][i].sqrtW for ell in range(L)])
+                    for i in range(num_pod_modes)
+                ]
+            )  # (r, L, m', m')
+            fac = weighted_lstsq_fit(
+                D_blocks, sqrtW, rhs,
+                weights_are_cholesky=(gps[0][0].weight_method == "chol"),
+            )
 
         predict_fns = [
             (lambda f: (lambda O, q, t: rom.predict(O, q, t, input_func=f)))(f)

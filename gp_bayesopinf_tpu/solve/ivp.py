@@ -98,7 +98,7 @@ def rk4_solve(
     q0: jnp.ndarray,
     t_eval: jnp.ndarray,
     substeps: int = 8,
-    unroll: int = 4,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Integrate dq/dt = rhs(t, q) with classical RK4.
 
@@ -110,9 +110,13 @@ def rk4_solve(
     substeps : int — RK4 steps per output interval (static; unrolled in
         the step body so the sequential dimension carries no loop
         machinery).
-    unroll : int — ``lax.scan`` unroll factor over output intervals;
-        amortizes per-step dispatch overhead for the tiny state sizes
-        typical of ROM ensembles.
+    unroll : int — ``lax.scan`` unroll factor over output intervals.
+        Default 1 (round 4; was 4): at ensemble batch widths every scan
+        iteration is already a wide device op, so unrolling bought ~no
+        runtime while quadrupling the compiled executable — which a
+        tunneled accelerator re-loads every process at ~1 s/MB. The
+        screening megakernel path never touches this (its XLA twin
+        carries its own unroll).
 
     Returns
     -------
@@ -200,7 +204,7 @@ def dirk2_solve(
     jac_tridiag: Optional[Callable] = None,
     substeps: int = 2,
     newton_iters: int = 6,
-    unroll: int = 2,
+    unroll: int = 1,  # see rk4_solve: executable size >> unroll runtime win
 ) -> jnp.ndarray:
     """Integrate a stiff system with 2-stage L-stable SDIRK + Newton.
 

@@ -34,6 +34,7 @@ math without materializing (B*m)^2 block-diagonal zeros.
 
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -291,13 +292,19 @@ def weighted_lstsq_fit(
         (block-specific rows of the model data matrix,
         ``ODEs/config_seird.py:29-43``); B = #trajectories for the
         multi-trajectory regression.
-    weight_roots : (r, B, m, m) array
+    weight_roots : (r, B, m, m) array, or nested sequence of factored roots
         Weight roots per problem row and block. By default these are
         multiplicative roots R with W = R^T R (the GP ``sqrtW`` matrices).
         With ``weights_are_cholesky=True`` they are lower Cholesky factors
         L of the weighted-norm INVERSE (the GP derivative covariance
         C + eta I = L L^T) and are applied as L^{-1} via triangular
         solves — the same weighted problem without an eigendecomposition.
+        A non-array argument is treated as factored symmetric roots
+        (``gp.lowrank.LowRankWeightRoot``), one per problem row — or a
+        length-r sequence of length-B sequences — applied via two thin
+        matmuls each without materializing any (m x m) matrix (the
+        m'-scaling path, SURVEY §2e); ``weights_are_cholesky`` is ignored
+        for factored roots.
     rhs : (r, B, m) array
         Unweighted right-hand sides (GP ddt estimates).
     svd_fn : optional callable (r, M, d) -> (U, S, V)
@@ -311,6 +318,10 @@ def weighted_lstsq_fit(
     -------
     WeightedLSTSQ (batched over the r problems).
     """
+    if not isinstance(weight_roots, (jnp.ndarray, np.ndarray)):
+        return _weighted_lstsq_fit_factored(
+            D_blocks, weight_roots, rhs, svd_fn=svd_fn
+        )
     r, B, m, _ = weight_roots.shape
     d = D_blocks.shape[-1]
     if D_blocks.shape != (B, m, d):
@@ -341,3 +352,63 @@ def weighted_lstsq_fit(
         V = jnp.swapaxes(Vt, -1, -2)
     Utz = jnp.einsum("rmd,rm->rd", U, zt)
     return WeightedLSTSQ(U, S, V, Utz, Dt, zt)
+
+
+def _weighted_lstsq_fit_factored(D_blocks, roots, rhs, svd_fn=None):
+    """Factored-root weighting: host-f64 NumPy end to end.
+
+    ``roots`` is a length-r sequence of ``gp.lowrank.LowRankWeightRoot``
+    (B = 1) or of length-B sequences of them. Each root is applied as two
+    thin (m x p) matmuls (``LowRankWeightRoot.apply``) — the dense
+    (m x m) root of the reference's ``sqrtW @ D`` weighting
+    (``codebase/gpkernels.py:496-504`` product) never exists. The
+    factorization itself is direct LAPACK (no tracing/compilation);
+    outputs are host-committed f64 arrays exactly like the dense host
+    path, so downstream accelerator placement is unchanged.
+    """
+    from ..utils.hostmath import host_device
+
+    D_np = np.asarray(D_blocks, np.float64)
+    if D_np.ndim == 2:
+        D_np = D_np[None]
+    rhs_np = np.asarray(rhs, np.float64)
+    B, m, d = D_np.shape
+    r = rhs_np.shape[0]
+    if rhs_np.shape != (r, B, m):
+        raise ValueError(f"rhs shape {rhs_np.shape} != {(r, B, m)}")
+    if B * m < d:
+        raise ValueError("underdetermined problem: need B*m >= d")
+    # A factored root is itself a NamedTuple — detect rows by the
+    # ``apply`` protocol, not by sequence type.
+    roots = [[row] if hasattr(row, "apply") else list(row) for row in roots]
+    if len(roots) != r or any(len(row) != B for row in roots):
+        raise ValueError(
+            f"factored roots must be r={r} rows of B={B} blocks"
+        )
+
+    Dt = np.stack(
+        [
+            np.concatenate([roots[i][b].apply(D_np[b]) for b in range(B)])
+            for i in range(r)
+        ]
+    )  # (r, B*m, d)
+    zt = np.stack(
+        [
+            np.concatenate(
+                [roots[i][b].apply(rhs_np[i, b]) for b in range(B)]
+            )
+            for i in range(r)
+        ]
+    )  # (r, B*m)
+
+    if svd_fn is not None:
+        U, S, V = svd_fn(jnp.asarray(Dt))
+        U, S, V = np.asarray(U), np.asarray(S), np.asarray(V)
+    else:
+        U, S, Vt = np.linalg.svd(Dt, full_matrices=False)
+        V = np.swapaxes(Vt, -1, -2)
+    Utz = np.einsum("rmd,rm->rd", U, zt)
+
+    dev = host_device()
+    put = lambda x: jax.device_put(jnp.asarray(x), dev)
+    return WeightedLSTSQ(put(U), put(S), put(V), put(Utz), put(Dt), put(zt))
