@@ -143,7 +143,9 @@ def main(argv=None):
         print(f"exported artifacts with prefix {args.exportto}")
         if not args.nolog:
             logging.info(f"artifacts exported with prefix {args.exportto}")
-    return result
+    # The console entry point calls ``sys.exit(main())`` — returning the
+    # result object would set a nonzero exit code (and dump its repr).
+    return 0
 
 
 def _warmup(pipelines, ndraws):
