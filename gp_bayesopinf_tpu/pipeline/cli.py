@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ddtdata", action="store_true",
         help="export derivative-estimate comparison data",
     )
+    euler.add_argument(
+        "--weights", choices=("auto", "eigh", "chol", "lowrank"),
+        default="auto",
+        help="GP weight-root factorization (auto: lowrank at m' >= 1024)",
+    )
 
     heat = subs.add_parser("heat", help="multi-trajectory cubic heat (PDEsMulti/)")
     _common(heat, modes=True)
@@ -202,6 +207,7 @@ def _run(args):
             gp_regularizer=args.gpreg,
             ndraws=args.ndraws,
             ddtdata=args.ddtdata,
+            weight_method=args.weights,
         )
     else:
         from .pdes_multi import run_heat_multi

@@ -64,11 +64,18 @@ def run_euler(
     config: Optional[EulerConfig] = None,
     decompress_draws: bool = True,
     ddtdata: bool = False,
+    weight_method: Optional[str] = None,
     verbose: bool = True,
 ) -> EulerResult:
     """Run the Euler experiment start to finish (reference CLI:
     ``python3 main.py T_MAX NUMSAMPLES NOISE NUMPTS NUMPODMODES``;
-    flagship ex1a = (0.06, 200, 0.03, 400, 6), ``PDEs/experiments.sh:13``)."""
+    flagship ex1a = (0.06, 200, 0.03, 400, 6), ``PDEs/experiments.sh:13``).
+
+    ``weight_method`` (None = "auto") selects the GP weight-root
+    factorization — "eigh"/"chol" dense, "lowrank" factored pivoted
+    Cholesky + Woodbury; "auto" switches to lowrank at m' >= 1024
+    (``gp.gp.LOWRANK_MIN_POINTS``), so ex1c/ex2c (m'=3200) run factored
+    by default. Pass "chol" to force the dense path for comparison."""
     config = config or EulerConfig()
     keys = split_tree(
         key_from_seed(config.seed), ["sample", "noise", "fit", "search", "draws"]
@@ -123,6 +130,7 @@ def run_euler(
             n_restarts_optimizer=config.gp_bounds.n_restarts,
             gp_regularizer=gp_regularizer,
             key=keys["fit"],
+            weight_method=weight_method,
         )
         if verbose:
             for i, gp in enumerate(gps):

@@ -55,6 +55,10 @@ def test_cli_parser_surface():
     assert args.pipeline == "euler"
     assert args.numPODmodes == 6
     assert args.ndraws == 600
+    assert args.weights == "auto"
+    args = p.parse_args(["euler", "0.06", "200", "0.03", "3200", "6",
+                         "--weights", "chol"])
+    assert args.weights == "chol"
     args = p.parse_args(["seird", "90", "90", "0.1", "360", "--crosscheck"])
     assert args.crosscheck
     with pytest.raises(SystemExit):
