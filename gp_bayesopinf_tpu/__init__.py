@@ -46,11 +46,30 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: TPU f64 linalg (eigh/svd) kernels compile in
 # O(minutes) but run in O(ms); caching compiled executables across processes
 # makes every run after the first fast. Opt out with GPBOI_NO_COMPILE_CACHE=1.
+#
+# The default directory is keyed on a HOST FINGERPRINT (hash of the CPU
+# feature flags): the cache stores host-native XLA:CPU executables, and
+# loading one compiled on a different machine is not an error but a
+# SIGILL/SEGV at execution (observed after a container migration —
+# cpu_aot_loader warns "+prefer-no-scatter is not supported on the host
+# machine", then the process dies uncatchably). A migrated container now
+# lands in a fresh directory and recompiles instead of crashing. An
+# explicit GPBOI_COMPILE_CACHE_DIR is honored verbatim.
 if _os.environ.get("GPBOI_NO_COMPILE_CACHE", "0") != "1":
-    _cache_dir = _os.environ.get(
-        "GPBOI_COMPILE_CACHE_DIR",
-        _os.path.expanduser("~/.cache/gp_bayesopinf_tpu/jax_cache"),
-    )
+    _cache_dir = _os.environ.get("GPBOI_COMPILE_CACHE_DIR")
+    if _cache_dir is None:
+        import hashlib as _hashlib
+        import platform as _platform
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _fp = next(l for l in _f if l.startswith("flags"))
+        except (OSError, StopIteration):  # pragma: no cover - non-Linux
+            _fp = _platform.processor() or _platform.machine()
+        _host_tag = _hashlib.sha256(_fp.encode()).hexdigest()[:12]
+        _cache_dir = _os.path.expanduser(
+            f"~/.cache/gp_bayesopinf_tpu/jax_cache-{_host_tag}"
+        )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     # 0.05 s (not the 1.0 s default): pipelines dispatch dozens of SMALL

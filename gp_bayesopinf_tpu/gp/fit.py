@@ -107,6 +107,41 @@ def _rank_full(T, Y, box, Z, method="auto"):
     return jnp.where(jnp.isfinite(v), v, jnp.inf)
 
 
+# HBM budget for one _rank_full call's kernel matrices (the batched
+# (mode x candidate) full-data re-rank materializes r*C (m, m) kernels plus
+# their Cholesky factors — 16.6 GB at r=30, C=33, m=2048 in f32, the OOM
+# that blocked the production-shape GP-density study at m=2048).
+_RANK_BUDGET_BYTES = 4 << 30
+
+
+def _rank_full_chunked(T, Y, box, Z, chunk=None, method="auto"):
+    """``_rank_full`` over candidate-axis chunks of a fixed width.
+
+    ``chunk=None`` sizes the width so one call's kernel matrices fit in
+    ``_RANK_BUDGET_BYTES`` (a ~4x allowance over the raw (m, m) kernels
+    covers XLA temporaries); small problems take the single-program fast
+    path unchanged. The candidate axis is padded to a multiple of the
+    chunk width so every chunk reuses ONE compiled program; padded slots
+    evaluate a harmless candidate and are discarded.
+    """
+    r, C = Z.shape[0], Z.shape[1]
+    if chunk is None:
+        m = T.shape[-1]
+        per_cand = 4 * r * m * m * jnp.dtype(T.dtype).itemsize
+        chunk = max(1, _RANK_BUDGET_BYTES // max(per_cand, 1))
+    if chunk >= C:
+        return _rank_full(T, Y, box, Z, method=method)
+    pad = (-C) % chunk
+    Zp = jnp.concatenate(
+        [Z, jnp.broadcast_to(Z[:, :1], (r, pad, 3))], axis=1
+    ) if pad else Z
+    vs = [
+        _rank_full(T, Y, box, Zp[:, j : j + chunk], method=method)
+        for j in range(0, C + pad, chunk)
+    ]
+    return jnp.concatenate(vs, axis=1)[:, :C]
+
+
 def _newton_polish(z0, fun, maxiter: int):
     """Damped modified-Newton polish of the 3-parameter NLML.
 
@@ -306,8 +341,10 @@ def fit_gp_hyperparameters(
         jnp.asarray(adam_lr, fit_dtype),
     )
     if subsampled:
-        # Re-rank every candidate by the FULL-data NLML.
-        v_scr = _rank_full(Ts, Ys, box_s, z_scr)
+        # Re-rank every candidate by the FULL-data NLML, chunking the
+        # candidate axis when the batched kernels would overflow HBM
+        # (m=2048 x 30 modes x 33 candidates = 16.6 GB unchunked).
+        v_scr = _rank_full_chunked(Ts, Ys, box_s, z_scr)
     z_best = _select_winner(v_scr, z_scr)  # on-device argmin+gather
 
     # Phase 2 — damped-Newton polish (``_newton_polish``) on the
@@ -366,7 +403,7 @@ def fit_gp_hyperparameters(
     # ``ODEs/main.py:155`` — an f32 tie between two near-identical optima
     # is far below that tolerance).
     pair = jnp.stack([z_best, z_pol], axis=1)  # (r, 2, 3)
-    v_pair = _rank_full(Ts, Ys, box_s, pair)
+    v_pair = _rank_full_chunked(Ts, Ys, box_s, pair)
     z_fin = _select_winner(v_pair, pair)
     v_fin = jnp.min(v_pair, axis=1)
 

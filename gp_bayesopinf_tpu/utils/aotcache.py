@@ -37,6 +37,13 @@ Any failure in (2)/(3) — e.g. an export restriction or a toolchain that
 rejects the deserialized calling convention — falls back to the plain
 jitted function for that signature, permanently for the process.
 Opt out globally with ``GPBOI_AOT=0``.
+
+The cache serves **TPU backends only**: executing a CPU-platform
+exported program proved unreliable on some hosts (nondeterministic
+SIGSEGV or silently corrupt outputs for the large unrolled-Cholesky
+programs after a container migration, round 4), so CPU sessions always
+take the plain-jit path. ``GPBOI_AOT_CPU=1`` re-enables CPU serving on a
+host known to be good.
 """
 
 import functools
@@ -67,6 +74,12 @@ def cache_dir() -> Path:
 
 def enabled() -> bool:
     return os.environ.get("GPBOI_AOT", "1") != "0"
+
+
+def _cpu_aot_opt_in() -> bool:
+    """Explicit opt-in for serving exported programs on non-TPU backends
+    (see the backend guard in ``_AotFunction.__call__``)."""
+    return os.environ.get("GPBOI_AOT_CPU", "0") == "1"
 
 
 @functools.lru_cache(maxsize=1)
@@ -216,6 +229,21 @@ class _AOTJit:
             isinstance(x, jax.core.Tracer)
             for x in jax.tree_util.tree_leaves((args, kwargs))
         ):
+            return self._call_plain(args, kwargs)
+        if jax.default_backend() != "tpu" and not _cpu_aot_opt_in():
+            # EXECUTING a CPU-platform exported program is unreliable on
+            # some hosts: after a container migration (round 4) the
+            # compiled exp.call of the big unrolled-Cholesky NLML
+            # programs nondeterministically SEGFAULTED *or returned
+            # corrupt values* on the new host's CPU, while the plain
+            # jitted originals and small exported programs (cholesky,
+            # solve) stayed correct — evidence points at XLA:CPU codegen
+            # of the deserialized module, and silent corruption is
+            # disqualifying. The AOT program cache therefore serves TPU
+            # backends only (where every warm-process win was measured);
+            # CPU sessions pay tracing once per process via plain jit.
+            # GPBOI_AOT_CPU=1 re-enables for debugging on a known-good
+            # host.
             return self._call_plain(args, kwargs)
         if self._host and jax.default_backend() != "cpu":
             # Calling a CPU-platform exported program from the tunneled

@@ -122,6 +122,33 @@ def test_fit_recovers_reasonable_hyperparameters(rng):
     )
 
 
+def test_rank_full_chunked_matches_unchunked(rng):
+    """The candidate-axis-chunked full-data re-rank (the m=2048 HBM-OOM
+    fix) returns the same NLML matrix as the single-program path for every
+    chunk width, including non-divisors that force padding."""
+    from gp_bayesopinf_tpu.gp.fit import _rank_full, _rank_full_chunked
+
+    t = jnp.asarray(np.linspace(0, 1, 40))
+    T = jnp.stack([t, t + 0.01])
+    Y = jnp.asarray(rng.standard_normal((2, 40)))
+    box = BoxTransform.from_bounds((1e-5, 1e5), (1e-3, 1e2), (1e-8, 1e0))
+    Z = jnp.asarray(0.5 * rng.standard_normal((2, 7, 3)))
+
+    v_ref = np.asarray(_rank_full(T, Y, box, Z))
+    for chunk in (1, 2, 3, 7, 50):
+        v = np.asarray(_rank_full_chunked(T, Y, box, Z, chunk=chunk))
+        # Different chunk widths compile different batched programs, so
+        # reductions may differ by an ulp (measured 4e-16 at chunk=1);
+        # the inf/finite stability pattern must match exactly.
+        np.testing.assert_array_equal(
+            np.isfinite(v), np.isfinite(v_ref), err_msg=f"chunk={chunk}"
+        )
+        f = np.isfinite(v_ref)
+        np.testing.assert_allclose(
+            v[f], v_ref[f], rtol=1e-12, err_msg=f"chunk={chunk}"
+        )
+
+
 def test_fit_gaussian_processes_end_to_end(rng):
     """Batched step-2 entry point returns populated GP objects."""
     t = np.sort(rng.uniform(0, 1, 40)); t[0], t[-1] = 0, 1
