@@ -53,6 +53,9 @@ class ScaledResult:
     grid: Optional[np.ndarray] = None  # candidate regularizers
     grid_errors: Optional[np.ndarray] = None  # 1e12 = rejected (unstable)
     regularizer_quad: Optional[float] = None  # blocked mode: lambda on H
+    time_windows: int = 1
+    window_regularizers: Optional[np.ndarray] = None  # (W,) per-window lambda
+    window_error: float = float("nan")  # re-anchored per-window reconstruction
 
 
 def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
@@ -164,6 +167,7 @@ def run_scaled(
     weight_method: str = "auto",
     data_source: str = "synthetic",
     regularization: str = "scalar",
+    time_windows: int = 1,
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -199,6 +203,25 @@ def run_scaled(
     ``opinf.lstsq.TikhonovSolver`` diagonal surface
     (``codebase/wlstsq.py:179-181``; ``solve.lstsq.TikhonovLSTSQ``).
     Requires "H" in ``modelform``.
+
+    ``time_windows``: W > 1 learns a SEPARATE quadratic ROM (own
+    regression + own regularization search) on each of W contiguous
+    sub-spans of the training window — the time-windowed OpInf lever for
+    draw-marginal problems where no single global regularizer stabilizes
+    an accurate model (BASELINE.md "Per-block Tikhonov search" analysis:
+    the GP ddt posterior widens relative to mode curvature until every
+    draw violates the 5x envelope somewhere in the FULL k-step screen;
+    windowing divides the screen horizon by W and lets shrinkage adapt
+    to each sub-span's dynamics). TPU-first shape: all W windows share
+    one (window x candidate x draw)-batched screening program — W x
+    fewer sequential integration steps and W x more parallelism — and a
+    vectorized golden-section refinement polishes every window's lambda
+    simultaneously (one program call evaluates all W objectives).
+    ``train_error`` reports the CHAINED rollout (window w's posterior
+    ensemble starts from window w-1's ensemble-mean end state — the
+    apples-to-apples comparison with W=1); ``window_error`` the
+    re-anchored per-window reconstruction; ``window_regularizers`` the
+    per-window selections. Currently scalar regularization only.
     """
     import os
 
@@ -220,6 +243,17 @@ def run_scaled(
             "regularization='blocked' separates the quadratic block; "
             f"modelform '{modelform}' has no H operator"
         )
+    if time_windows < 1:
+        raise ValueError("time_windows must be >= 1")
+    if time_windows > 1:
+        if blocked:
+            raise ValueError(
+                "time_windows > 1 supports scalar regularization only"
+            )
+        if num_regression_points % time_windows:
+            raise ValueError(
+                "num_regression_points must divide into time_windows"
+            )
 
     if mesh is None:
         n_dev = len(jax.devices())
@@ -320,6 +354,27 @@ def run_scaled(
                     ]
                 },
             )
+
+    if time_windows > 1:
+        return _windowed_tail(
+            mesh=mesh,
+            tb=tb,
+            ts=ts,
+            Y=Y,
+            sigma2=sigma2,
+            ell=ell,
+            chi=chi,
+            svdvals=svdvals,
+            num_modes=num_modes,
+            num_regression_points=num_regression_points,
+            modelform=modelform,
+            time_windows=time_windows,
+            ndraws=ndraws,
+            grid_size=grid_size,
+            k_draw=k_draw,
+            envelope_floor=envelope_floor,
+            weight_method=weight_method,
+        )
 
     # --- GP estimation: true-f64 factorizations on the host ------------------
     # method="chol": the weight root is the Cholesky factor of C + eta*I,
@@ -667,4 +722,341 @@ def run_scaled(
         grid=grid,
         grid_errors=errs_np,
         regularizer_quad=float(params_np[1]) if blocked else None,
+    )
+
+
+def _windowed_tail(
+    mesh,
+    tb,
+    ts,
+    Y,
+    sigma2,
+    ell,
+    chi,
+    svdvals,
+    num_modes,
+    num_regression_points,
+    modelform,
+    time_windows,
+    ndraws,
+    grid_size,
+    k_draw,
+    envelope_floor,
+    weight_method,
+) -> ScaledResult:
+    """Time-windowed back half of ``run_scaled`` (W separate ROMs).
+
+    The GP is GLOBAL — hyperparameters were fit once on the full-span
+    samples and every window's estimates condition on all of them — only
+    the operator regression, regularization search, and posterior
+    ensemble are per-window. All W windows ride one batched program at
+    every stage: estimation vmaps (window x mode), the weighted
+    factorization stacks W*r row problems through the same mesh-sharded
+    TSQR as the global path, and the screen evaluates
+    (candidate x draw x window) in a single fused graph whose sequential
+    depth is m'/W integration steps instead of m'. Per-window lambda
+    selection is exact because windows are INDEPENDENT row problems: the
+    (grid x W) error table from the joint screen is argmin'd per column,
+    then a vectorized golden-section polish descends all W bounded
+    refinements in lockstep (each iteration = one program call under the
+    scalar search's frozen-key semantics, ``bayes/regsearch.py``).
+    """
+    f32, f64 = jnp.float32, jnp.float64
+    W = time_windows
+    r = num_modes
+    mw = num_regression_points // W
+    rom = GalerkinROM(modelform, state_dimension=num_modes, substeps=2)
+
+    t_est = np.linspace(0.0, 1.0, num_regression_points)
+    tw = t_est.reshape(W, mw)  # (W, mw) window time grids
+    ts64 = jnp.asarray(ts, f64)
+
+    if weight_method == "auto":
+        weight_method = "lowrank" if mw >= 1024 else "chol"
+
+    # --- GP estimation per window (host f64), conditioning on ALL samples ----
+    if weight_method == "lowrank":
+        from ..gp.lowrank import lowrank_gp_estimates
+
+        with tb("scaled[w]: GP estimation (lowrank host f64)"):
+            Y_np = np.asarray(jax.device_get(Y), np.float64)
+            hyp = [
+                np.asarray(jax.device_get(x), np.float64)
+                for x in (sigma2, ell, chi)
+            ]
+            roots = []
+            state_np = np.empty((W, r, mw))
+            ddt_np = np.empty((W, r, mw))
+            for w in range(W):
+                row = []
+                for i in range(r):
+                    e = lowrank_gp_estimates(
+                        ts, Y_np[i], tw[w], hyp[0][i], hyp[1][i], hyp[2][i],
+                        eta=1e-8,
+                    )
+                    state_np[w, i] = e.state_estimate
+                    ddt_np[w, i] = e.ddt_estimate
+                    row.append(e.root)
+                roots.append(row)
+        state_est64 = jnp.asarray(state_np)
+        ddt_est64 = jnp.asarray(ddt_np)
+        weight_root = None
+    else:
+        est_fn = host_jit(
+            jax.vmap(  # windows
+                jax.vmap(  # modes
+                    lambda y, s2, l, c, te: gp_estimates(
+                        ts64, y, te, s2, l, c, eta=1e-8, method="chol"
+                    ),
+                    in_axes=(0, 0, 0, 0, None),
+                ),
+                in_axes=(None, None, None, None, 0),
+            )
+        )
+        with tb("scaled[w]: GP estimation (host f64)"):
+            ests = est_fn(
+                jnp.asarray(Y, f64),
+                jnp.asarray(sigma2, f64),
+                jnp.asarray(ell, f64),
+                jnp.asarray(chi, f64),
+                jnp.asarray(tw, f64),
+            )
+            ests.state_estimate.block_until_ready()
+        state_est64 = ests.state_estimate  # (W, r, mw)
+        ddt_est64 = ests.ddt_estimate
+        weight_root = ests.weight_root  # (W, r, mw, mw) Cholesky factors
+
+    # --- per-window data matrices + weighting (host f64) ---------------------
+    with jax.default_device(host_device()):
+        D = jnp.stack(
+            [rom.data_matrix(state_est64[w]) for w in range(W)]
+        )  # (W, mw, d)
+    d = D.shape[-1]
+    if mw < d:
+        raise ValueError(
+            f"underdetermined window regression: m'/W={mw} < d={d} "
+            "unknowns; raise num_regression_points or lower time_windows"
+        )
+
+    if weight_method == "lowrank":
+        with tb("scaled[w]: weighting (lowrank host f64)"):
+            D_np = np.asarray(D, np.float64)
+            Dt = np.stack(
+                [
+                    np.stack([roots[w][i].apply(D_np[w]) for i in range(r)])
+                    for w in range(W)
+                ]
+            )  # (W, r, mw, d)
+            zt = np.stack(
+                [
+                    np.stack(
+                        [roots[w][i].apply(ddt_np[w, i]) for i in range(r)]
+                    )
+                    for w in range(W)
+                ]
+            )  # (W, r, mw)
+            Dt, zt = jnp.asarray(Dt), jnp.asarray(zt)
+    else:
+
+        def _weight_w(L, Dmat, z):
+            Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
+            Dw_ = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
+            zw_ = jax.scipy.linalg.solve_triangular(
+                L, z[..., None], lower=True
+            )
+            return Dw_, zw_[..., 0]
+
+        with tb("scaled[w]: weighting (host f64)"):
+            Dt, zt = host_jit(jax.vmap(_weight_w))(
+                weight_root, D, ddt_est64
+            )  # (W, r, mw, d), (W, r, mw)
+            Dt.block_until_ready()
+
+    # --- one factorization for all W*r row problems (mesh-sharded TSQR) ------
+    Dt_flat = jnp.asarray(Dt, f32).reshape(W * r, mw, d)
+    zt_flat = jnp.asarray(zt, f32).reshape(W * r, mw)
+    with tb("scaled[w]: TSQR factorization (sharded)"):
+        U, S, V = tall_skinny_svd(
+            Dt_flat, mesh=mesh, spec=("mode", "draw", None)
+        )
+        U.block_until_ready()
+    zt_flat = jax.device_put(
+        zt_flat, NamedSharding(mesh, P("mode", "draw"))
+    )
+    Utz = jnp.einsum("rmd,rm->rd", U, zt_flat)
+    fac = WeightedLSTSQ(U, S, V, Utz, Dt_flat, zt_flat)
+
+    # --- screening: (candidate x draw x window) in one fused program ---------
+    states_w32 = jnp.asarray(state_est64, f32)  # (W, r, mw)
+    states_full = jnp.swapaxes(states_w32, 0, 1).reshape(r, W * mw)
+    tw32 = jnp.asarray(tw, f32)
+    q0s = states_w32[:, :, 0]  # (W, r) per-window GP-estimate ICs
+    shift = jnp.mean(states_full, axis=1)
+    limits = 5.0 * jnp.max(
+        jnp.abs(states_full - shift[:, None]), axis=1
+    )
+    if envelope_floor:
+        limits = jnp.maximum(limits, envelope_floor * jnp.max(limits))
+    grid = np.logspace(-12, 6, grid_size)
+    grid32 = jnp.asarray(grid, f32)
+    draw_sharding = NamedSharding(mesh, P("draw", None, None, None))
+    wnorm = jnp.linalg.norm(states_w32, axis=(1, 2))  # (W,)
+
+    def _integrate(ohat):
+        """(n, W, r, d) operator draws -> (n, W, r, mw) window rollouts."""
+        ohat = jax.lax.with_sharding_constraint(ohat, draw_sharding)
+        per_window = jax.vmap(rom.predict, in_axes=(0, 0, 0))
+        return jax.vmap(per_window, in_axes=(0, None, None))(
+            ohat, q0s, tw32
+        )
+
+    def window_errors(lams, key):
+        """(W,) screen errors for per-window scalar ridges ``lams``.
+
+        Window independence: row problem (w, i) only sees lams[w], and
+        window w's 20-draw rollout only uses its own rows — so entry w of
+        the result is window w's objective regardless of the other
+        entries, and one call evaluates W objectives at once.
+        """
+        lam_rows = jnp.repeat(lams, r)  # (W*r,)
+        ohat = fac.sample(lam_rows, key, 20).reshape(20, W, r, d)
+        sols = _integrate(ohat)
+        ok = stability_mask(sols, shift, limits)  # (20, W)
+        stable = jnp.all(ok, axis=0)
+        err = jnp.linalg.norm(
+            jnp.mean(sols, axis=0) - states_w32, axis=(1, 2)
+        ) / wnorm
+        return jnp.where(stable & jnp.isfinite(err), err, 1e12)
+
+    candidate_errors = jax.jit(
+        jax.vmap(lambda lam, key: window_errors(
+            jnp.broadcast_to(lam, (W,)), key
+        ))
+    )
+    screen_keys = jax.random.split(k_draw, grid_size)
+    with tb("scaled[w]: regularization screening"):
+        errs = candidate_errors(grid32, screen_keys)  # (grid, W)
+        errs.block_until_ready()
+    errs_np = np.asarray(errs)
+    dead = np.all(errs_np >= 1e12, axis=0)
+    if dead.any():
+        raise ValueError(
+            f"windowed grid search failed: every candidate unstable in "
+            f"window(s) {np.flatnonzero(dead).tolist()} (extend the grid "
+            "or increase num_regression_points)"
+        )
+
+    # --- vectorized bounded refinement (frozen key, all windows at once) -----
+    refine_key = jax.random.fold_in(k_draw, 101)
+    single = jax.jit(lambda lams: window_errors(lams, refine_key))
+
+    ibest = np.argmin(errs_np, axis=0)  # (W,)
+    lam_best = grid[ibest]
+    with tb("scaled[w]: regularization refinement"):
+        best_val = np.array(single(jnp.asarray(lam_best, f32)))
+        best_lam = lam_best.copy()
+        active = (ibest > 0) & (ibest < grid_size - 1)
+        logbest = np.log10(lam_best)
+        a = np.where(active, np.log10(grid[np.maximum(ibest - 1, 0)]),
+                     logbest)
+        b = np.where(
+            active,
+            np.log10(grid[np.minimum(ibest + 1, grid_size - 1)]),
+            logbest,
+        )
+        invphi = (np.sqrt(5.0) - 1.0) / 2.0
+
+        def _eval(logl):
+            v = np.asarray(single(jnp.asarray(10.0**logl, f32)))
+            take = v < best_val
+            best_val[take] = v[take]
+            best_lam[take] = (10.0**logl)[take]
+            return v
+
+        c = b - invphi * (b - a)
+        dpt = a + invphi * (b - a)
+        fc, fd = _eval(c), _eval(dpt)
+        for _ in range(12):
+            left = fc < fd
+            a = np.where(left, a, c)
+            b = np.where(left, dpt, b)
+            new_c = b - invphi * (b - a)
+            new_d = a + invphi * (b - a)
+            x = np.where(left, new_c, new_d)
+            fx = _eval(x)
+            c, dpt, fc, fd = (
+                np.where(left, new_c, dpt),
+                np.where(left, c, new_d),
+                np.where(left, fx, fd),
+                np.where(left, fc, fx),
+            )
+    lams = jnp.asarray(best_lam, f32)
+    lam_rows = jnp.repeat(lams, r)
+
+    # --- final ensembles: re-anchored reconstruction + chained rollout -------
+    @jax.jit
+    def final_ensemble(key):
+        ohat = fac.sample(lam_rows, key, ndraws).reshape(ndraws, W, r, d)
+        sols = _integrate(ohat)  # (n, W, r, mw)
+        ok = stability_mask(sols, shift, limits)  # (n, W)
+        acc = jnp.sum(
+            jnp.where(ok[:, :, None, None], sols, 0.0), axis=0
+        )
+        means = acc / jnp.maximum(
+            jnp.sum(ok, axis=0)[:, None, None], 1
+        )
+        return means, jnp.mean(ok.astype(f32))
+
+    with tb("scaled[w]: posterior ensemble"), mesh:
+        means_w, frac = final_ensemble(jax.random.fold_in(k_draw, 7))
+        means_w.block_until_ready()
+
+    mean_full = jnp.swapaxes(means_w, 0, 1).reshape(r, W * mw)
+    se_np = np.asarray(states_full)
+    window_error = float(
+        np.linalg.norm(np.asarray(mean_full) - se_np)
+        / np.linalg.norm(se_np)
+    )
+
+    @jax.jit
+    def chain_window(O_w, qc, t_w):
+        sols = jax.vmap(lambda O: rom.predict(O, qc, t_w))(O_w)
+        ok = stability_mask(sols, shift, limits)
+        acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
+        mean = acc / jnp.maximum(jnp.sum(ok), 1)
+        return mean, mean[:, -1]
+
+    with tb("scaled[w]: chained rollout"), mesh:
+        ohat_chain = fac.sample(
+            lam_rows, jax.random.fold_in(k_draw, 8), ndraws
+        ).reshape(ndraws, W, r, d)
+        # Replicate the chain state on the mesh: states_full is committed
+        # to one device while the draws are mesh-sharded.
+        qc = jax.device_put(states_full[:, 0], NamedSharding(mesh, P()))
+        chain_means = []
+        for w in range(W):
+            mean_w, qc = chain_window(ohat_chain[:, w], qc, tw32[w])
+            chain_means.append(mean_w)
+        chain_full = jnp.concatenate(chain_means, axis=1)
+        chain_full.block_until_ready()
+    train_error = float(
+        np.linalg.norm(np.asarray(chain_full) - se_np)
+        / np.linalg.norm(se_np)
+    )
+
+    lams_np = np.asarray(lams, np.float64)
+    return ScaledResult(
+        num_modes=num_modes,
+        # geometric mean of the per-window selections (the search is
+        # log-space); the full vector is window_regularizers.
+        regularizer=float(np.exp(np.mean(np.log(lams_np)))),
+        ensemble_mean=np.asarray(chain_full),
+        stable_fraction=float(frac),
+        svdvals=np.asarray(svdvals),
+        train_error=train_error,
+        grid=grid,
+        grid_errors=errs_np,
+        time_windows=W,
+        window_regularizers=lams_np,
+        window_error=window_error,
     )

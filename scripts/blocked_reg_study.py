@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--grid-size", type=int, default=8)
     ap.add_argument("--modes", default="scalar,blocked",
                     help="comma-separated: scalar,blocked")
+    ap.add_argument("--windows", type=int, default=1,
+                    help="time_windows (W>1: per-sub-span ROMs; scalar only)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -71,6 +73,7 @@ def main():
                     modelform="cAH",
                     data_source="euler",
                     regularization=reg,
+                    time_windows=args.windows,
                     verbose=True,
                 )
                 row = {
@@ -82,6 +85,12 @@ def main():
                     "train_error": res.train_error,
                     "wall_s": round(time.time() - t0, 1),
                 }
+                if args.windows > 1:
+                    row["windows"] = args.windows
+                    row["window_error"] = res.window_error
+                    row["window_lambdas"] = [
+                        float(x) for x in res.window_regularizers
+                    ]
             except ValueError as exc:  # all-unstable grid
                 row = {
                     "reg": reg,

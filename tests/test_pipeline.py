@@ -261,6 +261,51 @@ def test_scaled_pipeline_blocked_regularization():
         })
 
 
+def test_scaled_pipeline_time_windows():
+    """time_windows=W learns W independent sub-span ROMs: per-window
+    regularizers, a re-anchored window reconstruction, and a chained
+    rollout as the headline train error. Synthetic linear truth at tiny
+    sizes on the 8-device CPU mesh."""
+    import pytest
+
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+    from gp_bayesopinf_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"draw": 4, "mode": 2})
+    kwargs = dict(
+        mesh=mesh,
+        n_space=128,
+        n_snapshots=300,
+        num_modes=4,
+        num_gp_samples=80,
+        num_regression_points=96,
+        n_restarts=2,
+        ndraws=16,
+        grid_size=8,
+        modelform="cAH",
+    )
+    res = run_scaled(time_windows=2, **kwargs)
+    assert res.time_windows == 2
+    assert res.window_regularizers.shape == (2,)
+    assert np.all(res.window_regularizers > 0)
+    assert res.grid_errors.shape == (8, 2)
+    assert np.isfinite(res.train_error)  # chained rollout
+    assert np.isfinite(res.window_error)  # re-anchored reconstruction
+    assert res.ensemble_mean.shape == (4, 96)
+    assert res.stable_fraction > 0.5
+    # The synthetic truth is an exactly-representable linear system: the
+    # re-anchored windows must reconstruct it well, and the chained
+    # rollout should stay in the same regime as the global W=1 run.
+    assert res.window_error < 0.3
+    assert res.train_error < 0.6
+
+    # Guardrails.
+    with pytest.raises(ValueError, match="divide"):
+        run_scaled(time_windows=5, **kwargs)
+    with pytest.raises(ValueError, match="scalar regularization"):
+        run_scaled(time_windows=2, regularization="blocked", **kwargs)
+
+
 def test_scaled_pipeline_checkpoint_resume(tmp_path):
     """The scaled pipeline checkpoints its fit stage (orbax) and a rerun
     resumes from it with identical results."""
