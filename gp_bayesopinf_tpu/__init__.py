@@ -48,7 +48,8 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # makes every run after the first fast. Opt out with GPBOI_NO_COMPILE_CACHE=1.
 #
 # The default directory is keyed on a HOST FINGERPRINT (hash of the CPU
-# feature flags): the cache stores host-native XLA:CPU executables, and
+# model identity AND feature flags): the cache stores host-native XLA:CPU
+# executables, and
 # loading one compiled on a different machine is not an error but a
 # SIGILL/SEGV at execution (observed after a container migration —
 # cpu_aot_loader warns "+prefer-no-scatter is not supported on the host
@@ -61,10 +62,25 @@ if _os.environ.get("GPBOI_NO_COMPILE_CACHE", "0") != "1":
         import hashlib as _hashlib
         import platform as _platform
 
+        # Hash the model identity lines in addition to the feature flags:
+        # LLVM keys subtarget *tuning* features (prefer-no-scatter/-gather,
+        # ...) on the CPU model, so two hosts with identical ISA flags but
+        # different models still produce incompatible executables (observed:
+        # a migrated container warned "+prefer-no-scatter is not supported"
+        # while the flags-only fingerprint matched).
+        _keys = ("vendor_id", "cpu family", "model", "model name",
+                 "stepping", "flags")
         try:
             with open("/proc/cpuinfo") as _f:
-                _fp = next(l for l in _f if l.startswith("flags"))
-        except (OSError, StopIteration):  # pragma: no cover - non-Linux
+                _seen = {}
+                for _l in _f:
+                    _k = _l.split(":", 1)[0].strip()
+                    if _k in _keys and _k not in _seen:
+                        _seen[_k] = _l.strip()
+                _fp = "\n".join(_seen[_k] for _k in _keys if _k in _seen)
+            if not _fp:
+                raise OSError("no cpuinfo keys matched")
+        except OSError:  # pragma: no cover - non-Linux
             _fp = _platform.processor() or _platform.machine()
         _host_tag = _hashlib.sha256(_fp.encode()).hexdigest()[:12]
         _cache_dir = _os.path.expanduser(
