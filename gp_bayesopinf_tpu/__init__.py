@@ -56,35 +56,41 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # machine", then the process dies uncatchably). A migrated container now
 # lands in a fresh directory and recompiles instead of crashing. An
 # explicit GPBOI_COMPILE_CACHE_DIR is honored verbatim.
+def _host_fingerprint(cpuinfo_path="/proc/cpuinfo"):
+    """Tag identifying the host CPU for native-executable cache keying.
+
+    Hashes the model identity lines in addition to the feature flags:
+    LLVM keys subtarget *tuning* features (prefer-no-scatter/-gather, ...)
+    on the CPU model, so two hosts with identical ISA flags but different
+    models still produce incompatible executables (observed: a migrated
+    container warned "+prefer-no-scatter is not supported" while a
+    flags-only fingerprint matched).
+    """
+    import hashlib
+    import platform
+
+    keys = ("vendor_id", "cpu family", "model", "model name",
+            "stepping", "flags")
+    try:
+        with open(cpuinfo_path) as f:
+            seen = {}
+            for line in f:
+                k = line.split(":", 1)[0].strip()
+                if k in keys and k not in seen:
+                    seen[k] = line.strip()
+        fp = "\n".join(seen[k] for k in keys if k in seen)
+        if not fp:
+            raise OSError("no cpuinfo keys matched")
+    except OSError:  # pragma: no cover - non-Linux
+        fp = platform.processor() or platform.machine()
+    return hashlib.sha256(fp.encode()).hexdigest()[:12]
+
+
 if _os.environ.get("GPBOI_NO_COMPILE_CACHE", "0") != "1":
     _cache_dir = _os.environ.get("GPBOI_COMPILE_CACHE_DIR")
     if _cache_dir is None:
-        import hashlib as _hashlib
-        import platform as _platform
-
-        # Hash the model identity lines in addition to the feature flags:
-        # LLVM keys subtarget *tuning* features (prefer-no-scatter/-gather,
-        # ...) on the CPU model, so two hosts with identical ISA flags but
-        # different models still produce incompatible executables (observed:
-        # a migrated container warned "+prefer-no-scatter is not supported"
-        # while the flags-only fingerprint matched).
-        _keys = ("vendor_id", "cpu family", "model", "model name",
-                 "stepping", "flags")
-        try:
-            with open("/proc/cpuinfo") as _f:
-                _seen = {}
-                for _l in _f:
-                    _k = _l.split(":", 1)[0].strip()
-                    if _k in _keys and _k not in _seen:
-                        _seen[_k] = _l.strip()
-                _fp = "\n".join(_seen[_k] for _k in _keys if _k in _seen)
-            if not _fp:
-                raise OSError("no cpuinfo keys matched")
-        except OSError:  # pragma: no cover - non-Linux
-            _fp = _platform.processor() or _platform.machine()
-        _host_tag = _hashlib.sha256(_fp.encode()).hexdigest()[:12]
         _cache_dir = _os.path.expanduser(
-            f"~/.cache/gp_bayesopinf_tpu/jax_cache-{_host_tag}"
+            f"~/.cache/gp_bayesopinf_tpu/jax_cache-{_host_fingerprint()}"
         )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -120,3 +120,26 @@ def test_hostmath_placement():
     assert out.devices() == {dev}
     back = to_accelerator(out)
     assert np.allclose(np.asarray(back), np.asarray(out))
+
+
+def test_host_fingerprint_keys_on_model_identity(tmp_path):
+    """The compile-cache host tag must change when the CPU model changes,
+    even if the ISA feature flags are identical (LLVM keys tuning features
+    like prefer-no-scatter on the model, not the flags)."""
+    from gp_bayesopinf_tpu import _host_fingerprint
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    flags = "flags\t\t: fpu vme sse sse2 avx avx2 avx512f\n"
+    a.write_text("model name\t: Intel(R) Xeon(R) CPU @ 2.20GHz\n" + flags)
+    b.write_text("model name\t: AMD EPYC 9B14\n" + flags)
+    tag_a = _host_fingerprint(str(a))
+    tag_b = _host_fingerprint(str(b))
+    assert tag_a != tag_b
+    assert tag_a == _host_fingerprint(str(a))  # deterministic
+    assert len(tag_a) == 12 and all(c in "0123456789abcdef" for c in tag_a)
+    # Missing / keyless cpuinfo falls back to a platform tag, never raises.
+    assert len(_host_fingerprint(str(tmp_path / "missing"))) == 12
+    empty = tmp_path / "empty"
+    empty.write_text("bogus\t: nothing relevant\n")
+    assert len(_host_fingerprint(str(empty))) == 12
