@@ -8,6 +8,13 @@ Mirrors the reference argparse surface (``PDEs/main.py:258-339``,
                 [--ndraws N] [--exportto P] [--ddtdata]
     gpboi heat  T_MAX NUM_SAMPLES NOISE NUM_PTS NUM_MODES [--ndraws N]
                 [--exportto P]
+
+plus two TPU-deployment subcommands with no reference counterpart:
+
+    gpboi scaled [--source euler] [--windows W] [--regularization blocked]
+                 [--weights lowrank] [--devices N] ...   (production-scale
+                 sharded pipeline; prints a JSON summary line)
+    gpboi warmup [seird euler heat]   (seed the persistent caches)
 """
 
 import argparse
@@ -67,6 +74,52 @@ def build_parser() -> argparse.ArgumentParser:
     heat = subs.add_parser("heat", help="multi-trajectory cubic heat (PDEsMulti/)")
     _common(heat, modes=True)
 
+    scaled = subs.add_parser(
+        "scaled",
+        help="production-scale sharded pipeline (pipeline.scaled.run_scaled): "
+        "sharded POD + batched GP fits + regularization search + ensemble "
+        "at deployment shapes, with optional device mesh, low-rank weight "
+        "roots, blocked Tikhonov, and time-windowed ROMs",
+    )
+    scaled.add_argument("--n-space", type=int, default=6000,
+                        help="full spatial DOF n (euler source: 3*nx lifted)")
+    scaled.add_argument("--k", type=int, default=10000, dest="n_snapshots",
+                        help="training snapshots")
+    scaled.add_argument("--modes", type=int, default=30, dest="num_modes",
+                        help="POD modes r")
+    scaled.add_argument("--gp-samples", type=int, default=512,
+                        help="GP sample points m")
+    scaled.add_argument("--mprime", type=int, default=2048,
+                        help="regression points m'")
+    scaled.add_argument("--restarts", type=int, default=32,
+                        help="GP fit optimizer restarts")
+    scaled.add_argument("--ndraws", type=int, default=256,
+                        help="posterior ensemble draws")
+    scaled.add_argument("--grid-size", type=int, default=16,
+                        help="regularization grid size")
+    scaled.add_argument("--seed", type=int, default=0)
+    scaled.add_argument("--modelform", default="cA",
+                        help="ROM structure: cA | cAH")
+    scaled.add_argument("--source", choices=("synthetic", "euler"),
+                        default="synthetic", dest="data_source",
+                        help="snapshot source (euler = physical FOM)")
+    scaled.add_argument("--regularization", choices=("scalar", "blocked"),
+                        default="scalar",
+                        help="single-lambda ridge vs per-block Tikhonov")
+    scaled.add_argument("--windows", type=int, default=1, dest="time_windows",
+                        help="W>1: independent per-sub-span ROMs (the "
+                        "time-windowed lever for draw-marginal problems)")
+    scaled.add_argument("--weights", choices=("auto", "eigh", "chol",
+                                              "lowrank"), default="auto",
+                        dest="weight_method",
+                        help="GP weight-root factorization")
+    scaled.add_argument("--checkpoint-dir",
+                        help="orbax checkpoint/resume directory")
+    scaled.add_argument("--devices", type=int, default=0,
+                        help="shard over a mesh of this many devices "
+                        "(0 = single device)")
+    scaled.add_argument("--quiet", action="store_true")
+
     warm = subs.add_parser(
         "warmup",
         help="seed the persistent compile + AOT program caches by running "
@@ -92,6 +145,8 @@ def main(argv=None):
 
     if args.pipeline == "warmup":
         return _warmup(args.pipelines, args.ndraws)
+    if args.pipeline == "scaled":
+        return _scaled(args)
 
     # Observability tier (reference behavior: every run logs to log.log,
     # creates a dated figures folder, and writes report.txt —
@@ -150,6 +205,59 @@ def main(argv=None):
             logging.info(f"artifacts exported with prefix {args.exportto}")
     # The console entry point calls ``sys.exit(main())`` — returning the
     # result object would set a nonzero exit code (and dump its repr).
+    return 0
+
+
+def _scaled(args):
+    """Run the production-scale pipeline and print a JSON summary line."""
+    import json
+
+    from .scaled import run_scaled
+
+    mesh = None
+    if args.devices:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        devs = jax.devices()[: args.devices]
+        mode_ax = 2 if len(devs) % 2 == 0 else 1
+        mesh = make_mesh(
+            {"draw": len(devs) // mode_ax, "mode": mode_ax}, devices=devs
+        )
+    res = run_scaled(
+        mesh=mesh,
+        n_space=args.n_space,
+        n_snapshots=args.n_snapshots,
+        num_modes=args.num_modes,
+        num_gp_samples=args.gp_samples,
+        num_regression_points=args.mprime,
+        n_restarts=args.restarts,
+        ndraws=args.ndraws,
+        grid_size=args.grid_size,
+        seed=args.seed,
+        modelform=args.modelform,
+        data_source=args.data_source,
+        regularization=args.regularization,
+        time_windows=args.time_windows,
+        weight_method=args.weight_method,
+        checkpoint_dir=args.checkpoint_dir,
+        verbose=not args.quiet,
+    )
+    summary = {
+        "regularizer": float(res.regularizer),
+        "stable_fraction": float(res.stable_fraction),
+        "train_error": float(res.train_error),
+    }
+    if res.regularizer_quad is not None:
+        summary["regularizer_quad"] = float(res.regularizer_quad)
+    if res.time_windows > 1:
+        summary["time_windows"] = res.time_windows
+        summary["window_error"] = float(res.window_error)
+        summary["window_regularizers"] = [
+            float(x) for x in res.window_regularizers
+        ]
+    print(json.dumps(summary))
     return 0
 
 

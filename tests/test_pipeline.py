@@ -63,6 +63,35 @@ def test_cli_parser_surface():
     assert args.crosscheck
     with pytest.raises(SystemExit):
         p.parse_args(["euler", "0.06"])  # missing required args
+    args = p.parse_args(["scaled", "--source", "euler", "--windows", "8",
+                         "--regularization", "scalar", "--modes", "20"])
+    assert args.pipeline == "scaled"
+    assert args.data_source == "euler"
+    assert args.time_windows == 8
+    assert args.num_modes == 20
+    assert args.weight_method == "auto"  # production defaults
+    assert args.mprime == 2048 and args.n_snapshots == 10000
+
+
+def test_cli_scaled_end_to_end(capsys):
+    """`gpboi scaled` runs the production pipeline at tiny shapes and
+    prints a machine-readable JSON summary line."""
+    import json
+
+    from gp_bayesopinf_tpu.pipeline import cli
+
+    rc = cli.main([
+        "scaled", "--n-space", "96", "--k", "240", "--modes", "4",
+        "--gp-samples", "64", "--mprime", "96", "--restarts", "2",
+        "--ndraws", "16", "--grid-size", "6", "--modelform", "cAH",
+        "--devices", "2", "--quiet",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(line)
+    assert summary["stable_fraction"] > 0.5
+    assert np.isfinite(summary["train_error"])
+    assert summary["regularizer"] > 0
 
 
 def test_cli_observability_wiring(tmp_path, monkeypatch):
