@@ -103,12 +103,25 @@ def build_parser() -> argparse.ArgumentParser:
     scaled.add_argument("--source", choices=("synthetic", "euler"),
                         default="synthetic", dest="data_source",
                         help="snapshot source (euler = physical FOM)")
-    scaled.add_argument("--regularization", choices=("scalar", "blocked"),
+    scaled.add_argument("--regularization",
+                        choices=("scalar", "blocked", "gamma"),
                         default="scalar",
-                        help="single-lambda ridge vs per-block Tikhonov")
+                        help="single-lambda ridge, per-block Tikhonov, or "
+                        "scaled user-shaped Gamma (see --gamma)")
+    scaled.add_argument("--gamma", default="colnorm", dest="tikhonov_gamma",
+                        help="Tikhonov shape for --regularization gamma: "
+                        "'colnorm' (per-row diagonal from weighted "
+                        "data-matrix column norms) or a .npy file holding "
+                        "(d,), (r,d), (d,d) or (r,d,d)")
     scaled.add_argument("--windows", type=int, default=1, dest="time_windows",
                         help="W>1: independent per-sub-span ROMs (the "
-                        "time-windowed lever for draw-marginal problems)")
+                        "time-windowed lever for draw-marginal problems); "
+                        "composes with any --regularization mode")
+    scaled.add_argument("--chaining", choices=("draws", "mean", "anchor"),
+                        default="draws", dest="window_chaining",
+                        help="W>1 boundary scheme for the full-span rollout: "
+                        "draw-wise propagation, ensemble-mean handoff, or "
+                        "GP re-anchoring at window boundaries")
     scaled.add_argument("--weights", choices=("auto", "eigh", "chol",
                                               "lowrank"), default="auto",
                         dest="weight_method",
@@ -212,6 +225,8 @@ def _scaled(args):
     """Run the production-scale pipeline and print a JSON summary line."""
     import json
 
+    import numpy as np
+
     from .scaled import run_scaled
 
     mesh = None
@@ -225,6 +240,11 @@ def _scaled(args):
         mesh = make_mesh(
             {"draw": len(devs) // mode_ax, "mode": mode_ax}, devices=devs
         )
+    gamma = None
+    if args.regularization == "gamma":
+        gamma = args.tikhonov_gamma
+        if isinstance(gamma, str) and gamma.endswith(".npy"):
+            gamma = np.load(gamma)
     res = run_scaled(
         mesh=mesh,
         n_space=args.n_space,
@@ -240,6 +260,8 @@ def _scaled(args):
         data_source=args.data_source,
         regularization=args.regularization,
         time_windows=args.time_windows,
+        window_chaining=args.window_chaining,
+        tikhonov_gamma=gamma,
         weight_method=args.weight_method,
         checkpoint_dir=args.checkpoint_dir,
         verbose=not args.quiet,
@@ -253,10 +275,13 @@ def _scaled(args):
         summary["regularizer_quad"] = float(res.regularizer_quad)
     if res.time_windows > 1:
         summary["time_windows"] = res.time_windows
+        summary["chaining"] = res.chaining
         summary["window_error"] = float(res.window_error)
-        summary["window_regularizers"] = [
-            float(x) for x in res.window_regularizers
-        ]
+        summary["chained_error_mean"] = float(res.chained_error_mean)
+        summary["chained_error_draws"] = float(res.chained_error_draws)
+        summary["window_regularizers"] = np.asarray(
+            res.window_regularizers
+        ).tolist()
     print(json.dumps(summary))
     return 0
 

@@ -19,12 +19,17 @@ triangular solves, small eigendecompositions) runs in true f64 on the
 host CPU device. TPU-emulated f64 is never used — it is both slow
 (minutes-long compiles) and loose (~1e-2 matmul error measured).
 
-``run_scaled`` is size-parameterized so the same code path runs as an
-8-virtual-device CPU test (tiny sizes) and as the real v5e workload.
+One assembly path serves every configuration: the global run is the
+W = 1 case of the time-windowed machinery (GP estimation, weighting,
+and the mesh-sharded TSQR are batched over a leading window axis; the
+regularization screen evaluates (candidate x draw x window) in one
+fused program). ``run_scaled`` is size-parameterized so the same code
+path runs as an 8-virtual-device CPU test (tiny sizes) and as the real
+v5e workload.
 """
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 import jax
@@ -41,6 +46,8 @@ from ..solve.lstsq import WeightedLSTSQ
 from ..solve.ivp import stability_mask
 from ..utils.hostmath import host_device, host_jit
 
+_INVPHI = (np.sqrt(5.0) - 1.0) / 2.0
+
 
 @dataclasses.dataclass
 class ScaledResult:
@@ -54,8 +61,11 @@ class ScaledResult:
     grid_errors: Optional[np.ndarray] = None  # 1e12 = rejected (unstable)
     regularizer_quad: Optional[float] = None  # blocked mode: lambda on H
     time_windows: int = 1
-    window_regularizers: Optional[np.ndarray] = None  # (W,) per-window lambda
+    window_regularizers: Optional[np.ndarray] = None  # (W,) / (W, 2)
     window_error: float = float("nan")  # re-anchored per-window reconstruction
+    chaining: Optional[str] = None  # W > 1: selected boundary scheme
+    chained_error_mean: float = float("nan")  # ensemble-mean handoff
+    chained_error_draws: float = float("nan")  # draw-wise propagation
 
 
 def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
@@ -149,6 +159,226 @@ def _euler_states(
     return jnp.asarray(scaled * (1.0 + noise), dtype)
 
 
+# ---------------------------------------------------------------------------
+# Shared assembly helpers (global = W = 1; windowed = W > 1)
+# ---------------------------------------------------------------------------
+
+
+def _gp_estimate_windows(ts, Y, sigma2, ell, chi, tw, weight_method, tb):
+    """(W, r, mw) GP state/ddt estimates on the host in true f64.
+
+    The GP is GLOBAL — hyperparameters were fit once on the full-span
+    samples and every window's estimates condition on all of them. Returns
+    ``(state_est64, ddt_est64, weight_ctx)`` where ``weight_ctx`` is
+    ``("chol", (W, r, mw, mw) Cholesky factors)`` for the dense path
+    (reference exact-sqrtW semantics via triangular solves,
+    ``codebase/gpkernels.py:445-504``) or ``("lowrank", W x r nested
+    LowRankWeightRoot list)`` for the factored O(m' p^2) path
+    (``gp.lowrank``, SURVEY section 2e).
+    """
+    f64 = jnp.float64
+    W, _ = tw.shape
+    r = Y.shape[0]
+    ts64 = jnp.asarray(ts, f64)
+
+    if weight_method == "lowrank":
+        from ..gp.lowrank import lowrank_gp_estimates
+
+        with tb("scaled: GP estimation (lowrank host f64)"):
+            Y_np = np.asarray(jax.device_get(Y), np.float64)
+            hyp = [
+                np.asarray(jax.device_get(x), np.float64)
+                for x in (sigma2, ell, chi)
+            ]
+            mw = tw.shape[1]
+            roots = []
+            state_np = np.empty((W, r, mw))
+            ddt_np = np.empty((W, r, mw))
+            for w in range(W):
+                row = []
+                for i in range(r):
+                    e = lowrank_gp_estimates(
+                        ts, Y_np[i], tw[w], hyp[0][i], hyp[1][i], hyp[2][i],
+                        eta=1e-8,
+                    )
+                    state_np[w, i] = e.state_estimate
+                    ddt_np[w, i] = e.ddt_estimate
+                    row.append(e.root)
+                roots.append(row)
+        return jnp.asarray(state_np), jnp.asarray(ddt_np), ("lowrank", roots)
+
+    est_fn = host_jit(
+        jax.vmap(  # windows
+            jax.vmap(  # modes
+                lambda y, s2, l, c, te: gp_estimates(
+                    ts64, y, te, s2, l, c, eta=1e-8, method="chol"
+                ),
+                in_axes=(0, 0, 0, 0, None),
+            ),
+            in_axes=(None, None, None, None, 0),
+        )
+    )
+    with tb("scaled: GP estimation (host f64)"):
+        ests = est_fn(
+            jnp.asarray(Y, f64),
+            jnp.asarray(sigma2, f64),
+            jnp.asarray(ell, f64),
+            jnp.asarray(chi, f64),
+            jnp.asarray(tw, f64),
+        )
+        ests.state_estimate.block_until_ready()
+    return ests.state_estimate, ests.ddt_estimate, ("chol", ests.weight_root)
+
+
+def _weight_windows(rom, state_est64, ddt_est64, weight_ctx, tb):
+    """Per-window data matrices + GP weighting on the host (f64).
+
+    Returns ``(Dt, zt)`` with shapes (W, r, mw, d) / (W, r, mw): the
+    weighted regression blocks ``sqrtW_i D_w`` of every (window, mode)
+    row problem — the reference's weighting (``codebase/wlstsq.py``
+    behavioral spec) without ever materializing a block-diagonal stack.
+    """
+    W = state_est64.shape[0]
+    # Feature assembly stays on the host CPU device: an uncommitted f64
+    # array would dispatch the quadratic-feature ops to the accelerator
+    # in emulated f64 (slow, inaccurate — utils.hostmath policy).
+    with jax.default_device(host_device()):
+        D = jnp.stack(
+            [rom.data_matrix(state_est64[w]) for w in range(W)]
+        )  # (W, mw, d)
+    d = D.shape[-1]
+    mw = D.shape[1]
+    if mw < d:
+        raise ValueError(
+            f"underdetermined regression: num_regression_points/W={mw} < "
+            f"d={d} unknowns; raise num_regression_points (the m'-sharded "
+            "factorization scales it) or lower time_windows"
+        )
+
+    kind, ctx = weight_ctx
+    if kind == "lowrank":
+        # Factored symmetric roots applied per row: two thin matmuls
+        # each, O(r m' p d) — the dense (m' x m') root never exists.
+        with tb("scaled: weighting (lowrank host f64)"):
+            D_np = np.asarray(D, np.float64)
+            ddt_np = np.asarray(ddt_est64, np.float64)
+            r = len(ctx[0])
+            Dt = np.stack(
+                [
+                    np.stack([ctx[w][i].apply(D_np[w]) for i in range(r)])
+                    for w in range(W)
+                ]
+            )  # (W, r, mw, d)
+            zt = np.stack(
+                [
+                    np.stack(
+                        [ctx[w][i].apply(ddt_np[w, i]) for i in range(r)]
+                    )
+                    for w in range(W)
+                ]
+            )  # (W, r, mw)
+            return jnp.asarray(Dt), jnp.asarray(zt)
+
+    def _weight_w(L, Dmat, z):
+        # method="chol": the weight root is the Cholesky factor of
+        # C + eta*I, applied via triangular solves — the same weighted
+        # regression as the reference's sqrtW without any (m' x m')
+        # eigendecomposition (gp/estimates.py docstring).
+        Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
+        Dw = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
+        zw = jax.scipy.linalg.solve_triangular(L, z[..., None], lower=True)
+        return Dw, zw[..., 0]
+
+    with tb("scaled: weighting (host f64)"):
+        Dt, zt = host_jit(jax.vmap(_weight_w))(
+            ctx, D, ddt_est64
+        )  # (W, r, mw, d), (W, r, mw)
+        Dt.block_until_ready()
+    return Dt, zt
+
+
+def _resolve_gamma(tikhonov_gamma, Dt_flat, r, d, W):
+    """Normalize ``tikhonov_gamma`` into the per-row-problem regularizer.
+
+    Returns ``("diag", (W*r, d))`` or ``("matrix", (W*r, d, d))``.
+    Accepted inputs (the reference ``opinf.lstsq.TikhonovSolver`` /
+    ``WeightedLSTSQSolverMulti`` surface, ``codebase/wlstsq.py:179-181,
+    215-304``):
+
+    * ``"colnorm"`` — per-row diagonal Gamma from the column norms of
+      each weighted data matrix (classic scaled Tikhonov: shrinkage
+      proportional to each feature's leverage),
+    * (d,) shared diagonal, (r, d) per-row diagonal,
+    * (d, d) shared matrix, (r, d, d) per-row matrices. An ambiguous
+      square (r, r) 2-D input is treated as a (d, d) matrix.
+    """
+    if isinstance(tikhonov_gamma, str):
+        if tikhonov_gamma != "colnorm":
+            raise ValueError(
+                f"unknown tikhonov_gamma preset '{tikhonov_gamma}'"
+            )
+        return "diag", jnp.linalg.norm(Dt_flat, axis=1)  # (W*r, d)
+    G = jnp.asarray(tikhonov_gamma)
+    if G.ndim == 1:
+        if G.shape != (d,):
+            raise ValueError(f"tikhonov_gamma shape {G.shape} != ({d},)")
+        return "diag", jnp.broadcast_to(G[None], (W * r, d))
+    if G.ndim == 2 and G.shape == (r, d) and r != d:
+        return "diag", jnp.tile(G, (W, 1))
+    if G.ndim == 2 and G.shape == (d, d):
+        return "matrix", jnp.broadcast_to(G[None], (W * r, d, d))
+    if G.ndim == 3 and G.shape == (r, d, d):
+        return "matrix", jnp.tile(G, (W, 1, 1))
+    raise ValueError(
+        f"tikhonov_gamma shape {G.shape} is none of ({d},), ({r}, {d}), "
+        f"({d}, {d}), ({r}, {d}, {d})"
+    )
+
+
+def _golden_vec(fn, x0_log, f0, lo, hi, iters=12):
+    """Vectorized bounded golden-section descent in log10 space.
+
+    ``fn``: (W,) log10 params -> (W,) frozen-key screen errors — ONE
+    program call evaluates every window's objective simultaneously
+    (window independence, see ``window_errors``). ``x0_log / f0`` seed
+    the incumbents (kept wherever nothing better is found); where
+    ``lo == hi`` the window is inactive and rides along for free.
+    Returns the best (log10 param, error) per window over all evaluated
+    points — the ``bayes/regsearch.py`` bounded-refinement semantics,
+    vectorized.
+    """
+    best_x = np.asarray(x0_log, np.float64).copy()
+    best_f = np.asarray(f0, np.float64).copy()
+    a = np.asarray(lo, np.float64).copy()
+    b = np.asarray(hi, np.float64).copy()
+
+    def _eval(x):
+        v = np.asarray(fn(x), np.float64)
+        take = v < best_f
+        best_f[take] = v[take]
+        best_x[take] = x[take]
+        return v
+
+    c = b - _INVPHI * (b - a)
+    dpt = a + _INVPHI * (b - a)
+    fc, fd = _eval(c), _eval(dpt)
+    for _ in range(iters):
+        left = fc < fd
+        a = np.where(left, a, c)
+        b = np.where(left, dpt, b)
+        new_c = b - _INVPHI * (b - a)
+        new_d = a + _INVPHI * (b - a)
+        x = np.where(left, new_c, new_d)
+        fx = _eval(x)
+        c, dpt, fc, fd = (
+            np.where(left, new_c, dpt),
+            np.where(left, c, new_d),
+            np.where(left, fx, fd),
+            np.where(left, fc, fx),
+        )
+    return best_x, best_f
+
+
 def run_scaled(
     mesh: Optional[Mesh] = None,
     n_space: int = 6000,
@@ -168,6 +398,8 @@ def run_scaled(
     data_source: str = "synthetic",
     regularization: str = "scalar",
     time_windows: int = 1,
+    window_chaining: str = "draws",
+    tikhonov_gamma: Union[None, str, np.ndarray] = None,
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -186,42 +418,69 @@ def run_scaled(
     "chol" = dense host Cholesky of C + eta I per mode (O(r m'^3));
     "lowrank" = rank-adaptive pivoted-Cholesky + Woodbury root
     (``gp.lowrank``, O(r m' p^2) — the m'-scaling path); "auto" picks
-    lowrank at m' >= 1024. Lowrank falls back to the dense eigh root for
-    any mode whose covariance is not numerically low rank.
+    lowrank at m'/W >= 1024. Lowrank falls back to the dense eigh root
+    for any mode whose covariance is not numerically low rank.
 
     ``data_source``: "synthetic" = rank-r damped-rotation snapshots
     (``_synthetic_states``); "euler" = the reference's Euler FOM scaled
     to n_space = 3 * nx lifted DOF (``_euler_states``) — the physical
     quadratic-dynamics variant of the north-star run.
 
-    ``regularization``: "scalar" = the reference's single-lambda ridge
-    search (``PDEs/step3_estimate.py`` semantics); "blocked" = the
-    two-parameter per-operator-block Tikhonov (lambda_1 on c/A/B columns,
-    lambda_2 on the quadratic H block) searched over a 2-D grid with the
-    same 20-draw screen — the classic OpInf stabilizer for draw-marginal
-    quadratic ROMs, built on the reference's
-    ``opinf.lstsq.TikhonovSolver`` diagonal surface
-    (``codebase/wlstsq.py:179-181``; ``solve.lstsq.TikhonovLSTSQ``).
-    Requires "H" in ``modelform``.
+    ``regularization``:
 
-    ``time_windows``: W > 1 learns a SEPARATE quadratic ROM (own
-    regression + own regularization search) on each of W contiguous
-    sub-spans of the training window — the time-windowed OpInf lever for
-    draw-marginal problems where no single global regularizer stabilizes
-    an accurate model (BASELINE.md "Per-block Tikhonov search" analysis:
-    the GP ddt posterior widens relative to mode curvature until every
-    draw violates the 5x envelope somewhere in the FULL k-step screen;
+    * "scalar" — the reference's single-lambda ridge search
+      (``PDEs/step3_estimate.py`` semantics).
+    * "blocked" — the two-parameter per-operator-block Tikhonov
+      (lambda_1 on c/A/B columns, lambda_2 on the quadratic H block)
+      searched over a 2-D grid with the same 20-draw screen — the classic
+      OpInf stabilizer for draw-marginal quadratic ROMs, built on the
+      reference's ``opinf.lstsq.TikhonovSolver`` diagonal surface
+      (``codebase/wlstsq.py:179-181``; ``solve.lstsq.TikhonovLSTSQ``).
+      Requires "H" in ``modelform``.
+    * "gamma" — a user-shaped Tikhonov matrix searched through a scalar
+      multiplier: candidates are ``lambda * Gamma`` with ``Gamma`` from
+      ``tikhonov_gamma`` (per-row diagonal or full-matrix; the
+      reference's general ``TikhonovSolver`` surface,
+      ``codebase/wlstsq.py:179-181``, amortized via
+      ``solve.lstsq.MatrixTikhonovLSTSQ``). ``tikhonov_gamma="colnorm"``
+      builds the classic scaled-Tikhonov diagonal from each weighted
+      data matrix's column norms.
+
+    ``time_windows``: W > 1 learns a SEPARATE ROM (own regression + own
+    regularization search, any ``regularization`` mode) on each of W
+    contiguous sub-spans of the training window — the time-windowed
+    OpInf lever for draw-marginal problems where no single global
+    regularizer stabilizes an accurate model (BASELINE.md: the GP ddt
+    posterior widens relative to mode curvature until every draw
+    violates the 5x envelope somewhere in the FULL k-step screen;
     windowing divides the screen horizon by W and lets shrinkage adapt
     to each sub-span's dynamics). TPU-first shape: all W windows share
     one (window x candidate x draw)-batched screening program — W x
     fewer sequential integration steps and W x more parallelism — and a
-    vectorized golden-section refinement polishes every window's lambda
-    simultaneously (one program call evaluates all W objectives).
-    ``train_error`` reports the CHAINED rollout (window w's posterior
-    ensemble starts from window w-1's ensemble-mean end state — the
-    apples-to-apples comparison with W=1); ``window_error`` the
-    re-anchored per-window reconstruction; ``window_regularizers`` the
-    per-window selections. Currently scalar regularization only.
+    vectorized golden-section refinement polishes every window's
+    parameters simultaneously (one program call evaluates all W
+    objectives).
+
+    ``window_chaining`` selects the boundary scheme for the full-span
+    rollout that ``train_error``/``ensemble_mean`` report (W > 1):
+
+    * "draws" (default) — draw-wise propagation: each posterior draw
+      continues from ITS OWN window-w end state, and the ensemble mean
+      is taken over full-span-stable chained trajectories. Keeps every
+      trajectory self-consistent instead of restarting from a mean that
+      averages away phase.
+    * "mean" — window w starts from window w-1's ensemble-mean end
+      state (the round-4 scheme; IC error compounds multiplicatively).
+    * "anchor" — window w restarts from the GP state estimate at its
+      left boundary (already computed for the regression). Within the
+      training span the boundary states are observable from data, so
+      this is the right reconstruction semantics; it equals the
+      re-anchored ``window_error``.
+
+    All schemes' errors are recorded (``chained_error_mean``,
+    ``chained_error_draws``, ``window_error``); ``train_error`` is the
+    selected scheme's. ``window_regularizers`` holds the per-window
+    selections ((W,) scalar/gamma, (W, 2) blocked).
     """
     import os
 
@@ -235,7 +494,7 @@ def run_scaled(
         save_checkpoint,
     )
 
-    if regularization not in ("scalar", "blocked"):
+    if regularization not in ("scalar", "blocked", "gamma"):
         raise ValueError(f"unknown regularization '{regularization}'")
     blocked = regularization == "blocked"
     if blocked and "H" not in modelform:
@@ -243,17 +502,16 @@ def run_scaled(
             "regularization='blocked' separates the quadratic block; "
             f"modelform '{modelform}' has no H operator"
         )
+    if regularization == "gamma" and tikhonov_gamma is None:
+        raise ValueError("regularization='gamma' requires tikhonov_gamma")
     if time_windows < 1:
         raise ValueError("time_windows must be >= 1")
-    if time_windows > 1:
-        if blocked:
-            raise ValueError(
-                "time_windows > 1 supports scalar regularization only"
-            )
-        if num_regression_points % time_windows:
-            raise ValueError(
-                "num_regression_points must divide into time_windows"
-            )
+    if time_windows > 1 and num_regression_points % time_windows:
+        raise ValueError(
+            "num_regression_points must divide into time_windows"
+        )
+    if window_chaining not in ("draws", "mean", "anchor"):
+        raise ValueError(f"unknown window_chaining '{window_chaining}'")
 
     if mesh is None:
         n_dev = len(jax.devices())
@@ -263,7 +521,6 @@ def run_scaled(
         raise ValueError("num_modes must divide the 'mode' mesh axis")
 
     f32 = jnp.float32
-    f64 = jnp.float64
     key = jax.random.PRNGKey(seed)
     k_data, k_fit, k_draw = jax.random.split(key, 3)
 
@@ -355,154 +612,49 @@ def run_scaled(
                 },
             )
 
-    if time_windows > 1:
-        return _windowed_tail(
-            mesh=mesh,
-            tb=tb,
-            ts=ts,
-            Y=Y,
-            sigma2=sigma2,
-            ell=ell,
-            chi=chi,
-            svdvals=svdvals,
-            num_modes=num_modes,
-            num_regression_points=num_regression_points,
-            modelform=modelform,
-            time_windows=time_windows,
-            ndraws=ndraws,
-            grid_size=grid_size,
-            k_draw=k_draw,
-            envelope_floor=envelope_floor,
-            weight_method=weight_method,
-        )
-
-    # --- GP estimation: true-f64 factorizations on the host ------------------
-    # method="chol": the weight root is the Cholesky factor of C + eta*I,
-    # applied below via triangular solves — same weighted regression as the
-    # reference's sqrtW without any (m' x m') eigendecomposition
-    # (gp/estimates.py docstring; reference codebase/gpkernels.py:445-504).
-    t_est = np.linspace(0.0, 1.0, num_regression_points)
-    ts64 = jnp.asarray(ts, f64)
-    t_est64 = jnp.asarray(t_est, f64)
-    if weight_method == "auto":
-        weight_method = (
-            "lowrank" if num_regression_points >= 1024 else "chol"
-        )
-    if weight_method == "lowrank":
-        # Rank-adaptive factored roots (gp/lowrank.py): O(m' p^2) per
-        # mode instead of O(m'^3); pure NumPy f64 on the host.
-        from ..gp.lowrank import lowrank_gp_estimates
-
-        with tb("scaled: GP estimation (lowrank host f64)"):
-            Y_np = np.asarray(jax.device_get(Y), np.float64)
-            hyp_np = [
-                np.asarray(jax.device_get(x), np.float64)
-                for x in (sigma2, ell, chi)
-            ]
-            ests_lr = [
-                lowrank_gp_estimates(
-                    ts, Y_np[i], t_est, hyp_np[0][i], hyp_np[1][i],
-                    hyp_np[2][i], eta=1e-8,
-                )
-                for i in range(num_modes)
-            ]
-            state_est_np = np.stack([e.state_estimate for e in ests_lr])
-            ddt_est_np = np.stack([e.ddt_estimate for e in ests_lr])
-    else:
-        with tb("scaled: GP estimation (host f64)"):
-            ests = host_jit(
-                jax.vmap(
-                    lambda y, s2, l, c: gp_estimates(
-                        ts64, y, t_est64, s2, l, c, eta=1e-8, method="chol"
-                    )
-                )
-            )(
-                jnp.asarray(Y, f64),
-                jnp.asarray(sigma2, f64),
-                jnp.asarray(ell, f64),
-                jnp.asarray(chi, f64),
-            )
-            ests.state_estimate.block_until_ready()
-
-    # --- regression: host-f64 weighting + mesh-sharded f32 factorization -----
-    # The weighted factorization shards the m' rows over "draw" and the r
-    # problems over "mode" — the m'-scaling (sequence-parallel) path
-    # (SURVEY.md section 2e). Triangular solves stay on the host (f64);
-    # the Gram contraction of the (r, m', d) weighted data matrices runs
-    # sharded on the mesh with its small (d x d) eigh back on the host.
-    # Default structure "cA": the synthetic truth is linear (H = 0), so
-    # the quadratic block is unidentifiable from data and scalar-lambda
-    # shrinkage would have to kill A along with it — the honest Bayesian
-    # answer, but a vacuous demo. "cAH" runs the same code with d ~ r^2/2
-    # unknowns (exercised in tests).
+    # ------------------------------------------------------------------
+    # Unified back half: W >= 1 windows through one assembly path.
+    # ------------------------------------------------------------------
+    W = time_windows
+    r = num_modes
+    mw = num_regression_points // W
     rom = GalerkinROM(modelform, state_dimension=num_modes, substeps=2)
-    # Feature assembly stays on the host CPU device: an uncommitted f64
-    # array would dispatch the quadratic-feature ops to the accelerator
-    # in emulated f64 (slow, inaccurate — utils.hostmath policy).
-    with jax.default_device(host_device()):
-        if weight_method == "lowrank":
-            state_estimate = jnp.asarray(state_est_np)
-        else:
-            state_estimate = ests.state_estimate
-        D = rom.data_matrix(state_estimate)  # (m', d) f64 host
-    if num_regression_points < D.shape[1]:
-        raise ValueError(
-            f"underdetermined regression: num_regression_points="
-            f"{num_regression_points} < d={D.shape[1]} unknowns; raise "
-            "num_regression_points (the m'-sharded factorization scales it)"
-        )
+    t_est = np.linspace(0.0, 1.0, num_regression_points)
+    tw = t_est.reshape(W, mw)  # (W, mw) window time grids
 
-    if weight_method == "lowrank":
-        # Factored symmetric roots applied per mode: two thin matmuls
-        # each, O(r m' p d) — the dense (m' x m') root never exists.
-        with tb("scaled: weighting (lowrank host f64)"):
-            D_np = np.asarray(D, np.float64)
-            Dw = jnp.asarray(
-                np.stack([e.root.apply(D_np) for e in ests_lr])
-            )
-            zw = jnp.asarray(
-                np.stack(
-                    [
-                        e.root.apply(ddt_est_np[i])
-                        for i, e in enumerate(ests_lr)
-                    ]
-                )
-            )
-    else:
+    if weight_method == "auto":
+        weight_method = "lowrank" if mw >= 1024 else "chol"
 
-        def _weight(L, Dmat, z):
-            Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
-            Dw = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
-            zw = jax.scipy.linalg.solve_triangular(
-                L, z[..., None], lower=True
-            )
-            return Dw, zw[..., 0]
+    state_est64, ddt_est64, weight_ctx = _gp_estimate_windows(
+        ts, Y, sigma2, ell, chi, tw, weight_method, tb
+    )  # (W, r, mw) each
+    Dt, zt = _weight_windows(rom, state_est64, ddt_est64, weight_ctx, tb)
+    d = Dt.shape[-1]
 
-        with tb("scaled: weighting (host f64)"):
-            Dw, zw = host_jit(_weight)(
-                ests.weight_root, D, ests.ddt_estimate
-            )  # (r, m', d), (r, m') f64 host
-            Dw.block_until_ready()
-
+    # --- one factorization for all W*r row problems (mesh-sharded TSQR) ------
+    # The weighted factorization shards the m' rows over "draw" and the
+    # W*r problems over "mode" — the m'-scaling (sequence-parallel) path
+    # (SURVEY.md section 2e).
+    Dt_flat = jnp.asarray(Dt, f32).reshape(W * r, mw, d)
+    zt_flat = jnp.asarray(zt, f32).reshape(W * r, mw)
     with tb("scaled: TSQR factorization (sharded)"):
         U, S, V = tall_skinny_svd(
-            jnp.asarray(Dw, f32), mesh=mesh, spec=("mode", "draw", None)
+            Dt_flat, mesh=mesh, spec=("mode", "draw", None)
         )
         U.block_until_ready()
-    zw32 = jax.device_put(
-        jnp.asarray(zw, f32), NamedSharding(mesh, P("mode", "draw"))
+    zt_flat = jax.device_put(
+        zt_flat, NamedSharding(mesh, P("mode", "draw"))
     )
-    Utz = jnp.einsum("rmd,rm->rd", U, zw32)
-    fac = WeightedLSTSQ(U, S, V, Utz, jnp.asarray(Dw, f32), zw32)
+    Utz = jnp.einsum("rmd,rm->rd", U, zt_flat)
+    fac = WeightedLSTSQ(U, S, V, Utz, Dt_flat, zt_flat)
 
-    # --- draw-sharded screening (all-f32 on the mesh) -------------------------
-    states_est = jax.device_put(
-        jnp.asarray(state_estimate, f32),
-        NamedSharding(mesh, P("mode", None)),
-    )
-    t_est32 = jnp.asarray(t_est, f32)
-    shift = jnp.mean(states_est, axis=1)
-    limits = 5.0 * jnp.max(jnp.abs(states_est - shift[:, None]), axis=1)
+    # --- screening setup: envelopes, grids, candidate samplers ----------------
+    states_w32 = jnp.asarray(state_est64, f32)  # (W, r, mw)
+    states_full = jnp.swapaxes(states_w32, 0, 1).reshape(r, W * mw)
+    tw32 = jnp.asarray(tw, f32)
+    q0s = states_w32[:, :, 0]  # (W, r) per-window GP-estimate ICs
+    shift = jnp.mean(states_full, axis=1)
+    limits = 5.0 * jnp.max(jnp.abs(states_full - shift[:, None]), axis=1)
     # Floor the per-mode envelope at envelope_floor x the global mode
     # scale: trailing POD modes whose GP estimate is (correctly) smoothed
     # to near-flat would otherwise have a ~zero envelope that rejects
@@ -511,48 +663,89 @@ def run_scaled(
     # all carry signal; envelope_floor=0 restores the strict semantics.
     if envelope_floor:
         limits = jnp.maximum(limits, envelope_floor * jnp.max(limits))
-    q0 = states_est[:, 0]
     grid = np.logspace(-12, 6, grid_size)
     grid32 = jnp.asarray(grid, f32)
-
-    draw_sharding = NamedSharding(mesh, P("draw", None, None))
+    draw_sharding = NamedSharding(mesh, P("draw", None, None, None))
+    wnorm = jnp.linalg.norm(states_w32, axis=(1, 2))  # (W,)
 
     if blocked:
         from ..rom.operators import operator_splits
 
-        quad_mask_np = np.zeros(D.shape[1], bool)
+        quad_mask_np = np.zeros(d, bool)
         for name, a, b in operator_splits(modelform, num_modes):
             if name == "H":
                 quad_mask_np[a:b] = True
         quad_mask = jnp.asarray(quad_mask_np)
         # Amortized normal equations: the O(M d^2) Gram contraction runs
         # once on the mesh; each (lambda_1, lambda_2) candidate then costs
-        # one batched (r, d, d) Cholesky inside the screen.
+        # one batched (W*r, d, d) Cholesky inside the screen.
         tik = jax.jit(fac.tikhonov)()
         jax.block_until_ready(tik)
 
-        def sample_draws(params, key, n):
-            gamma = jnp.where(quad_mask, params[1], params[0])
-            return tik.sample(gamma, key, n)
+        def sample_draws(params, key, n):  # params (W, 2)
+            g = jnp.where(quad_mask[None], params[:, 1:2], params[:, 0:1])
+            return tik.sample(
+                jnp.repeat(g, r, axis=0), key, n
+            ).reshape(n, W, r, d)
+
+    elif regularization == "gamma":
+        gkind, G = _resolve_gamma(tikhonov_gamma, Dt_flat, r, d, W)
+        if gkind == "diag":
+            tik = jax.jit(fac.tikhonov)()
+            jax.block_until_ready(tik)
+            G = jnp.asarray(G, f32)
+
+            def sample_draws(params, key, n):  # params (W,)
+                g = jnp.repeat(params, r)[:, None] * G
+                return tik.sample(g, key, n).reshape(n, W, r, d)
+
+        else:
+            mt = jax.jit(fac.matrix_tikhonov)(jnp.asarray(G, f32))
+            jax.block_until_ready(mt)
+
+            def sample_draws(params, key, n):  # params (W,)
+                return mt.sample(
+                    jnp.repeat(params, r), key, n
+                ).reshape(n, W, r, d)
 
     else:
 
-        def sample_draws(params, key, n):
-            return fac.sample(params, key, n)
+        def sample_draws(params, key, n):  # params (W,)
+            return fac.sample(
+                jnp.repeat(params, r), key, n
+            ).reshape(n, W, r, d)
 
-    def candidate_errors_single(params, key):
-        # 20-draw screen: the reference's candidate acceptance count
-        # (PDEs/step3_estimate.py; bayes/regsearch.py default). One
-        # objective shared by the grid phase and the refinement so the
-        # two can never drift apart.
+    def _integrate(ohat):
+        """(n, W, r, d) operator draws -> (n, W, r, mw) window rollouts,
+        every window re-anchored on its GP-estimate IC."""
+        ohat = jax.lax.with_sharding_constraint(ohat, draw_sharding)
+        per_window = jax.vmap(rom.predict, in_axes=(0, 0, 0))
+        return jax.vmap(per_window, in_axes=(0, None, None))(
+            ohat, q0s, tw32
+        )
+
+    def window_errors(params, key):
+        """(W,) screen errors for per-window regularizers ``params``.
+
+        20-draw screen: the reference's candidate acceptance count
+        (PDEs/step3_estimate.py; bayes/regsearch.py default). One
+        objective shared by the grid phase and the refinement so the two
+        can never drift apart. Window independence: row problem (w, i)
+        only sees params[w], and window w's rollout only uses its own
+        rows — so entry w of the result is window w's objective
+        regardless of the other entries, and one call evaluates W
+        objectives at once (W = 1 reproduces the global scalar screen).
+        """
         ohats = sample_draws(params, key, 20)
-        ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
-        sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
-        stable = jnp.all(stability_mask(sols, shift, limits))
-        err = jnp.linalg.norm(jnp.mean(sols, axis=0) - states_est)
-        err = err / jnp.linalg.norm(states_est)
+        sols = _integrate(ohats)
+        ok = stability_mask(sols, shift, limits)  # (20, W)
+        stable = jnp.all(ok, axis=0)
+        err = jnp.linalg.norm(
+            jnp.mean(sols, axis=0) - states_w32, axis=(1, 2)
+        ) / wnorm
         return jnp.where(stable & jnp.isfinite(err), err, 1e12)
 
+    # --- grid screening --------------------------------------------------------
     if blocked:
         # 2-D candidate grid (lambda_1 x lambda_2), one row of lambda_2
         # values vmapped per lax.map step — grid_size^2 screens at the
@@ -568,10 +761,13 @@ def run_scaled(
         pairs = jnp.stack(
             jnp.meshgrid(grid32, grid32, indexing="ij"), axis=-1
         )  # (g, g, 2)
-
         candidate_errors = jax.jit(
             lambda keys: jax.lax.map(
-                lambda pk: jax.vmap(candidate_errors_single)(*pk),
+                lambda pk: jax.vmap(
+                    lambda pair, kk: window_errors(
+                        jnp.broadcast_to(pair, (W, 2)), kk
+                    )
+                )(*pk),
                 (pairs, keys),
             )
         )
@@ -581,482 +777,257 @@ def run_scaled(
         )
     else:
         candidate_errors = jax.jit(
-            lambda keys: jax.vmap(candidate_errors_single)(grid32, keys)
+            lambda keys: jax.vmap(
+                lambda lam, kk: window_errors(
+                    jnp.broadcast_to(lam, (W,)), kk
+                )
+            )(grid32, keys)
         )
         screen_keys = jax.random.split(k_draw, grid_size)
 
     with tb("scaled: regularization screening"):
-        errs = candidate_errors(screen_keys)
+        errs = candidate_errors(screen_keys)  # (g, W) or (g, g, W)
         errs.block_until_ready()
     errs_np = np.asarray(errs)
-    if bool(jnp.all(errs >= 1e12)):
-        raise ValueError(
-            "scaled grid search failed: every candidate unstable "
-            "(extend the grid or increase num_regression_points)"
-        )
-
-    # Bounded log-space refinement of the same 20-draw objective under a
-    # frozen key (bayes/regsearch.py semantics with one deliberate
-    # divergence: an endpoint winner keeps the grid value instead of
-    # widening the bounds — the scaled demo's grid spans 18 decades, so
-    # an endpoint means the problem, not the grid, is mis-scaled). The
-    # grid winner is RE-EVALUATED under the refine key so acceptance
-    # compares like with like rather than across different draw keys.
-    import scipy.optimize
-
-    refine_key = jax.random.fold_in(k_draw, 101)
-    single = jax.jit(
-        lambda p: candidate_errors_single(jnp.asarray(p, f32), refine_key)
-    )
-
-    if blocked:
-        # The 2-D surface is coarse (grid cells span multiple decades), so
-        # a single local polish under-explores: the best diagonal
-        # (lambda_1 = lambda_2, i.e. scalar-ridge) point routinely beats a
-        # mediocre off-diagonal grid winner after its own 1-D refinement.
-        # Strategy: (a) polish the DIAGONAL with the scalar search's
-        # bounded 1-D minimization — the scalar-quality floor; (b) run
-        # Nelder-Mead from the 2-D grid winner and from the polished
-        # diagonal, each clipped to a +-1-cell box; (c) keep the best of
-        # all endpoints under the one shared screen key.
-        cell = np.log10(grid[1]) - np.log10(grid[0])
-
-        def nm_polish(x0_log, lo, hi):
-            def obj(logl):
-                logl = np.clip(logl, lo, hi)
-                return float(single(10.0 ** np.asarray(logl, np.float32)))
-
-            opt = scipy.optimize.minimize(
-                obj,
-                x0=x0_log,
-                method="Nelder-Mead",
-                options={"maxfev": 40, "xatol": 1e-2, "fatol": 1e-4},
-            )
-            return np.clip(opt.x, lo, hi), float(opt.fun)
-
-        with tb("scaled: regularization refinement"):
-            i1, i2 = np.unravel_index(
-                int(np.argmin(errs_np)), errs_np.shape
-            )
-            cands = [
-                (
-                    np.log10([grid[i1], grid[i2]]),
-                    float(errs_np[i1, i2]),
-                )
-            ]
-            # (a) diagonal 1-D polish between the best diagonal cell's
-            # neighbors (the scalar-search semantics under the shared key).
-            idiag = int(np.argmin(np.diagonal(errs_np)))
-            dlo = np.log10(grid[max(idiag - 1, 0)])
-            dhi = np.log10(grid[min(idiag + 1, grid_size - 1)])
-            dopt = scipy.optimize.minimize_scalar(
-                lambda l: float(
-                    single(np.asarray([10.0**l, 10.0**l], np.float32))
-                ),
-                bounds=(dlo, dhi),
-                method="bounded",
-                options={"maxiter": 20, "xatol": 1e-2},
-            )
-            if np.isfinite(dopt.fun):
-                cands.append(
-                    (np.asarray([dopt.x, dopt.x]), float(dopt.fun))
-                )
-            # (b) 2-D Nelder-Mead from each distinct start.
-            for x0_log, _ in list(cands):
-                lo, hi = x0_log - cell, x0_log + cell
-                xe, fe = nm_polish(np.asarray(x0_log, np.float64), lo, hi)
-                if np.isfinite(fe):
-                    cands.append((xe, fe))
-            best_log, _ = min(cands, key=lambda c: c[1])
-        params = jnp.asarray(10.0**best_log, f32)
-    else:
-        ibest = int(np.argmin(errs_np))
-        params = grid32[ibest]
-        if 0 < ibest < grid_size - 1:
-
-            def obj(loglam):
-                return float(single(10.0**loglam))
-
-            with tb("scaled: regularization refinement"):
-                best_refkey = float(single(params))
-                opt = scipy.optimize.minimize_scalar(
-                    obj,
-                    bounds=(
-                        np.log10(grid[ibest - 1]),
-                        np.log10(grid[ibest + 1]),
-                    ),
-                    method="bounded",
-                    options={"maxiter": 20, "xatol": 1e-2},
-                )
-            if np.isfinite(opt.fun) and opt.fun < best_refkey:
-                params = jnp.asarray(10.0**opt.x, f32)
-
-    @jax.jit
-    def final_ensemble(key):
-        ohats = sample_draws(params, key, ndraws)
-        ohats = jax.lax.with_sharding_constraint(ohats, draw_sharding)
-        sols = jax.vmap(lambda O: rom.predict(O, q0, t_est32))(ohats)
-        ok = stability_mask(sols, shift, limits)
-        acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
-        return acc / jnp.maximum(jnp.sum(ok), 1), jnp.mean(
-            ok.astype(f32)
-        )
-
-    with tb("scaled: posterior ensemble"), mesh:
-        mean_traj, frac = final_ensemble(jax.random.fold_in(k_draw, 7))
-        mean_traj.block_until_ready()
-
-    mean_np = np.asarray(mean_traj)
-    se_np = np.asarray(states_est)
-    train_error = float(
-        np.linalg.norm(mean_np - se_np) / np.linalg.norm(se_np)
-    )
-    params_np = np.atleast_1d(np.asarray(params, np.float64))
-    return ScaledResult(
-        num_modes=num_modes,
-        regularizer=float(params_np[0]),
-        ensemble_mean=mean_np,
-        stable_fraction=float(frac),
-        svdvals=np.asarray(svdvals),
-        train_error=train_error,
-        grid=grid,
-        grid_errors=errs_np,
-        regularizer_quad=float(params_np[1]) if blocked else None,
-    )
-
-
-def _windowed_tail(
-    mesh,
-    tb,
-    ts,
-    Y,
-    sigma2,
-    ell,
-    chi,
-    svdvals,
-    num_modes,
-    num_regression_points,
-    modelform,
-    time_windows,
-    ndraws,
-    grid_size,
-    k_draw,
-    envelope_floor,
-    weight_method,
-) -> ScaledResult:
-    """Time-windowed back half of ``run_scaled`` (W separate ROMs).
-
-    The GP is GLOBAL — hyperparameters were fit once on the full-span
-    samples and every window's estimates condition on all of them — only
-    the operator regression, regularization search, and posterior
-    ensemble are per-window. All W windows ride one batched program at
-    every stage: estimation vmaps (window x mode), the weighted
-    factorization stacks W*r row problems through the same mesh-sharded
-    TSQR as the global path, and the screen evaluates
-    (candidate x draw x window) in a single fused graph whose sequential
-    depth is m'/W integration steps instead of m'. Per-window lambda
-    selection is exact because windows are INDEPENDENT row problems: the
-    (grid x W) error table from the joint screen is argmin'd per column,
-    then a vectorized golden-section polish descends all W bounded
-    refinements in lockstep (each iteration = one program call under the
-    scalar search's frozen-key semantics, ``bayes/regsearch.py``).
-    """
-    f32, f64 = jnp.float32, jnp.float64
-    W = time_windows
-    r = num_modes
-    mw = num_regression_points // W
-    rom = GalerkinROM(modelform, state_dimension=num_modes, substeps=2)
-
-    t_est = np.linspace(0.0, 1.0, num_regression_points)
-    tw = t_est.reshape(W, mw)  # (W, mw) window time grids
-    ts64 = jnp.asarray(ts, f64)
-
-    if weight_method == "auto":
-        weight_method = "lowrank" if mw >= 1024 else "chol"
-
-    # --- GP estimation per window (host f64), conditioning on ALL samples ----
-    if weight_method == "lowrank":
-        from ..gp.lowrank import lowrank_gp_estimates
-
-        with tb("scaled[w]: GP estimation (lowrank host f64)"):
-            Y_np = np.asarray(jax.device_get(Y), np.float64)
-            hyp = [
-                np.asarray(jax.device_get(x), np.float64)
-                for x in (sigma2, ell, chi)
-            ]
-            roots = []
-            state_np = np.empty((W, r, mw))
-            ddt_np = np.empty((W, r, mw))
-            for w in range(W):
-                row = []
-                for i in range(r):
-                    e = lowrank_gp_estimates(
-                        ts, Y_np[i], tw[w], hyp[0][i], hyp[1][i], hyp[2][i],
-                        eta=1e-8,
-                    )
-                    state_np[w, i] = e.state_estimate
-                    ddt_np[w, i] = e.ddt_estimate
-                    row.append(e.root)
-                roots.append(row)
-        state_est64 = jnp.asarray(state_np)
-        ddt_est64 = jnp.asarray(ddt_np)
-        weight_root = None
-    else:
-        est_fn = host_jit(
-            jax.vmap(  # windows
-                jax.vmap(  # modes
-                    lambda y, s2, l, c, te: gp_estimates(
-                        ts64, y, te, s2, l, c, eta=1e-8, method="chol"
-                    ),
-                    in_axes=(0, 0, 0, 0, None),
-                ),
-                in_axes=(None, None, None, None, 0),
-            )
-        )
-        with tb("scaled[w]: GP estimation (host f64)"):
-            ests = est_fn(
-                jnp.asarray(Y, f64),
-                jnp.asarray(sigma2, f64),
-                jnp.asarray(ell, f64),
-                jnp.asarray(chi, f64),
-                jnp.asarray(tw, f64),
-            )
-            ests.state_estimate.block_until_ready()
-        state_est64 = ests.state_estimate  # (W, r, mw)
-        ddt_est64 = ests.ddt_estimate
-        weight_root = ests.weight_root  # (W, r, mw, mw) Cholesky factors
-
-    # --- per-window data matrices + weighting (host f64) ---------------------
-    with jax.default_device(host_device()):
-        D = jnp.stack(
-            [rom.data_matrix(state_est64[w]) for w in range(W)]
-        )  # (W, mw, d)
-    d = D.shape[-1]
-    if mw < d:
-        raise ValueError(
-            f"underdetermined window regression: m'/W={mw} < d={d} "
-            "unknowns; raise num_regression_points or lower time_windows"
-        )
-
-    if weight_method == "lowrank":
-        with tb("scaled[w]: weighting (lowrank host f64)"):
-            D_np = np.asarray(D, np.float64)
-            Dt = np.stack(
-                [
-                    np.stack([roots[w][i].apply(D_np[w]) for i in range(r)])
-                    for w in range(W)
-                ]
-            )  # (W, r, mw, d)
-            zt = np.stack(
-                [
-                    np.stack(
-                        [roots[w][i].apply(ddt_np[w, i]) for i in range(r)]
-                    )
-                    for w in range(W)
-                ]
-            )  # (W, r, mw)
-            Dt, zt = jnp.asarray(Dt), jnp.asarray(zt)
-    else:
-
-        def _weight_w(L, Dmat, z):
-            Db = jnp.broadcast_to(Dmat[None], (L.shape[0],) + Dmat.shape)
-            Dw_ = jax.scipy.linalg.solve_triangular(L, Db, lower=True)
-            zw_ = jax.scipy.linalg.solve_triangular(
-                L, z[..., None], lower=True
-            )
-            return Dw_, zw_[..., 0]
-
-        with tb("scaled[w]: weighting (host f64)"):
-            Dt, zt = host_jit(jax.vmap(_weight_w))(
-                weight_root, D, ddt_est64
-            )  # (W, r, mw, d), (W, r, mw)
-            Dt.block_until_ready()
-
-    # --- one factorization for all W*r row problems (mesh-sharded TSQR) ------
-    Dt_flat = jnp.asarray(Dt, f32).reshape(W * r, mw, d)
-    zt_flat = jnp.asarray(zt, f32).reshape(W * r, mw)
-    with tb("scaled[w]: TSQR factorization (sharded)"):
-        U, S, V = tall_skinny_svd(
-            Dt_flat, mesh=mesh, spec=("mode", "draw", None)
-        )
-        U.block_until_ready()
-    zt_flat = jax.device_put(
-        zt_flat, NamedSharding(mesh, P("mode", "draw"))
-    )
-    Utz = jnp.einsum("rmd,rm->rd", U, zt_flat)
-    fac = WeightedLSTSQ(U, S, V, Utz, Dt_flat, zt_flat)
-
-    # --- screening: (candidate x draw x window) in one fused program ---------
-    states_w32 = jnp.asarray(state_est64, f32)  # (W, r, mw)
-    states_full = jnp.swapaxes(states_w32, 0, 1).reshape(r, W * mw)
-    tw32 = jnp.asarray(tw, f32)
-    q0s = states_w32[:, :, 0]  # (W, r) per-window GP-estimate ICs
-    shift = jnp.mean(states_full, axis=1)
-    limits = 5.0 * jnp.max(
-        jnp.abs(states_full - shift[:, None]), axis=1
-    )
-    if envelope_floor:
-        limits = jnp.maximum(limits, envelope_floor * jnp.max(limits))
-    grid = np.logspace(-12, 6, grid_size)
-    grid32 = jnp.asarray(grid, f32)
-    draw_sharding = NamedSharding(mesh, P("draw", None, None, None))
-    wnorm = jnp.linalg.norm(states_w32, axis=(1, 2))  # (W,)
-
-    def _integrate(ohat):
-        """(n, W, r, d) operator draws -> (n, W, r, mw) window rollouts."""
-        ohat = jax.lax.with_sharding_constraint(ohat, draw_sharding)
-        per_window = jax.vmap(rom.predict, in_axes=(0, 0, 0))
-        return jax.vmap(per_window, in_axes=(0, None, None))(
-            ohat, q0s, tw32
-        )
-
-    def window_errors(lams, key):
-        """(W,) screen errors for per-window scalar ridges ``lams``.
-
-        Window independence: row problem (w, i) only sees lams[w], and
-        window w's 20-draw rollout only uses its own rows — so entry w of
-        the result is window w's objective regardless of the other
-        entries, and one call evaluates W objectives at once.
-        """
-        lam_rows = jnp.repeat(lams, r)  # (W*r,)
-        ohat = fac.sample(lam_rows, key, 20).reshape(20, W, r, d)
-        sols = _integrate(ohat)
-        ok = stability_mask(sols, shift, limits)  # (20, W)
-        stable = jnp.all(ok, axis=0)
-        err = jnp.linalg.norm(
-            jnp.mean(sols, axis=0) - states_w32, axis=(1, 2)
-        ) / wnorm
-        return jnp.where(stable & jnp.isfinite(err), err, 1e12)
-
-    candidate_errors = jax.jit(
-        jax.vmap(lambda lam, key: window_errors(
-            jnp.broadcast_to(lam, (W,)), key
-        ))
-    )
-    screen_keys = jax.random.split(k_draw, grid_size)
-    with tb("scaled[w]: regularization screening"):
-        errs = candidate_errors(grid32, screen_keys)  # (grid, W)
-        errs.block_until_ready()
-    errs_np = np.asarray(errs)
-    dead = np.all(errs_np >= 1e12, axis=0)
+    dead = np.all(errs_np.reshape(-1, W) >= 1e12, axis=0)
     if dead.any():
         raise ValueError(
-            f"windowed grid search failed: every candidate unstable in "
-            f"window(s) {np.flatnonzero(dead).tolist()} (extend the grid "
-            "or increase num_regression_points)"
-        )
-
-    # --- vectorized bounded refinement (frozen key, all windows at once) -----
-    refine_key = jax.random.fold_in(k_draw, 101)
-    single = jax.jit(lambda lams: window_errors(lams, refine_key))
-
-    ibest = np.argmin(errs_np, axis=0)  # (W,)
-    lam_best = grid[ibest]
-    with tb("scaled[w]: regularization refinement"):
-        best_val = np.array(single(jnp.asarray(lam_best, f32)))
-        best_lam = lam_best.copy()
-        active = (ibest > 0) & (ibest < grid_size - 1)
-        logbest = np.log10(lam_best)
-        a = np.where(active, np.log10(grid[np.maximum(ibest - 1, 0)]),
-                     logbest)
-        b = np.where(
-            active,
-            np.log10(grid[np.minimum(ibest + 1, grid_size - 1)]),
-            logbest,
-        )
-        invphi = (np.sqrt(5.0) - 1.0) / 2.0
-
-        def _eval(logl):
-            v = np.asarray(single(jnp.asarray(10.0**logl, f32)))
-            take = v < best_val
-            best_val[take] = v[take]
-            best_lam[take] = (10.0**logl)[take]
-            return v
-
-        c = b - invphi * (b - a)
-        dpt = a + invphi * (b - a)
-        fc, fd = _eval(c), _eval(dpt)
-        for _ in range(12):
-            left = fc < fd
-            a = np.where(left, a, c)
-            b = np.where(left, dpt, b)
-            new_c = b - invphi * (b - a)
-            new_d = a + invphi * (b - a)
-            x = np.where(left, new_c, new_d)
-            fx = _eval(x)
-            c, dpt, fc, fd = (
-                np.where(left, new_c, dpt),
-                np.where(left, c, new_d),
-                np.where(left, fx, fd),
-                np.where(left, fc, fx),
+            "scaled grid search failed: every candidate unstable"
+            + (
+                f" in window(s) {np.flatnonzero(dead).tolist()}"
+                if W > 1
+                else ""
             )
-    lams = jnp.asarray(best_lam, f32)
-    lam_rows = jnp.repeat(lams, r)
+            + " (extend the grid or increase num_regression_points)"
+        )
 
-    # --- final ensembles: re-anchored reconstruction + chained rollout -------
+    # --- bounded refinement under a frozen key ---------------------------------
+    # bayes/regsearch.py semantics with one deliberate divergence: an
+    # endpoint winner keeps the grid value instead of widening the bounds
+    # — the scaled demo's grid spans 18 decades, so an endpoint means the
+    # problem, not the grid, is mis-scaled. Grid winners are RE-EVALUATED
+    # under the refine key so acceptance compares like with like rather
+    # than across different draw keys; the vectorized golden-section
+    # descends all W windows' objectives in lockstep (one program call
+    # per iteration).
+    refine_key = jax.random.fold_in(k_draw, 101)
+    single = jax.jit(lambda p: window_errors(p, refine_key))
+    logg = np.log10(grid)
+    cell = logg[1] - logg[0]
+
+    if blocked:
+        flat = errs_np.reshape(grid_size * grid_size, W)
+        iflat = np.argmin(flat, axis=0)
+        i1, i2 = np.unravel_index(iflat, (grid_size, grid_size))
+        x0 = np.stack([logg[i1], logg[i2]], axis=-1)  # (W, 2) log10
+
+        def pair_fn(p_log):
+            return np.asarray(
+                single(jnp.asarray(10.0**p_log, f32)), np.float64
+            )
+
+        with tb("scaled: regularization refinement"):
+            best_x = x0.copy()
+            best_f = pair_fn(x0)
+            # (a) diagonal polish (lambda_1 = lambda_2): the scalar-
+            # search-quality floor, run between the best diagonal cell's
+            # neighbors.
+            idiag = np.argmin(
+                np.diagonal(errs_np, axis1=0, axis2=1).T, axis=0
+            )  # (W,)
+            dlo = logg[np.maximum(idiag - 1, 0)]
+            dhi = logg[np.minimum(idiag + 1, grid_size - 1)]
+            diag_seed = np.asarray(
+                pair_fn(np.stack([logg[idiag]] * 2, axis=-1)), np.float64
+            )
+            dx, df = _golden_vec(
+                lambda xl: pair_fn(np.stack([xl, xl], axis=-1)),
+                logg[idiag], diag_seed, dlo, dhi,
+            )
+            take = df < best_f
+            best_x[take] = np.stack([dx, dx], axis=-1)[take]
+            best_f[take] = df[take]
+            # (b) coordinate descent on (log l1, log l2), +-1 grid cell
+            # around the incumbent, two sweeps — each golden iteration is
+            # one program call evaluating every window.
+            for _ in range(2):
+                for coord in (0, 1):
+
+                    def coord_fn(xl, coord=coord):
+                        p = best_x.copy()
+                        p[:, coord] = xl
+                        return pair_fn(p)
+
+                    cx, cf = _golden_vec(
+                        coord_fn,
+                        best_x[:, coord],
+                        best_f,
+                        best_x[:, coord] - cell,
+                        best_x[:, coord] + cell,
+                    )
+                    take = cf < best_f
+                    best_x[take, coord] = cx[take]
+                    best_f[take] = cf[take]
+        params_np = 10.0**best_x  # (W, 2)
+        params = jnp.asarray(params_np, f32)
+    else:
+        ibest = np.argmin(errs_np, axis=0)  # (W,)
+        lam_best = grid[ibest]
+        active = (ibest > 0) & (ibest < grid_size - 1)
+        logbest = logg[ibest]
+        lo = np.where(active, logg[np.maximum(ibest - 1, 0)], logbest)
+        hi = np.where(
+            active, logg[np.minimum(ibest + 1, grid_size - 1)], logbest
+        )
+        if active.any():
+            with tb("scaled: regularization refinement"):
+                f0 = np.asarray(
+                    single(jnp.asarray(lam_best, f32)), np.float64
+                )
+                best_log, _ = _golden_vec(
+                    lambda xl: np.asarray(
+                        single(jnp.asarray(10.0**xl, f32)), np.float64
+                    ),
+                    logbest, f0, lo, hi,
+                )
+        else:
+            best_log = logbest  # every winner at an endpoint: keep grid
+        params_np = 10.0**best_log  # (W,)
+        params = jnp.asarray(params_np, f32)
+
+    # --- final ensembles: per-window (re-anchored) + chained rollouts ----------
     @jax.jit
     def final_ensemble(key):
-        ohat = fac.sample(lam_rows, key, ndraws).reshape(ndraws, W, r, d)
+        ohat = sample_draws(params, key, ndraws)
         sols = _integrate(ohat)  # (n, W, r, mw)
         ok = stability_mask(sols, shift, limits)  # (n, W)
-        acc = jnp.sum(
-            jnp.where(ok[:, :, None, None], sols, 0.0), axis=0
-        )
-        means = acc / jnp.maximum(
-            jnp.sum(ok, axis=0)[:, None, None], 1
-        )
+        acc = jnp.sum(jnp.where(ok[:, :, None, None], sols, 0.0), axis=0)
+        means = acc / jnp.maximum(jnp.sum(ok, axis=0)[:, None, None], 1)
         return means, jnp.mean(ok.astype(f32))
 
-    with tb("scaled[w]: posterior ensemble"), mesh:
+    with tb("scaled: posterior ensemble"), mesh:
         means_w, frac = final_ensemble(jax.random.fold_in(k_draw, 7))
         means_w.block_until_ready()
 
-    mean_full = jnp.swapaxes(means_w, 0, 1).reshape(r, W * mw)
+    mean_anchor = jnp.swapaxes(means_w, 0, 1).reshape(r, W * mw)
     se_np = np.asarray(states_full)
+    senorm = np.linalg.norm(se_np)
     window_error = float(
-        np.linalg.norm(np.asarray(mean_full) - se_np)
-        / np.linalg.norm(se_np)
+        np.linalg.norm(np.asarray(mean_anchor) - se_np) / senorm
     )
+
+    lams_np = np.atleast_1d(np.asarray(params_np, np.float64))
+    if W == 1:
+        g_errs = errs_np[..., 0]  # (g,) scalar/gamma, (g, g) blocked
+        lam0 = lams_np.reshape(-1)
+        return ScaledResult(
+            num_modes=num_modes,
+            regularizer=float(lam0[0]),
+            ensemble_mean=np.asarray(mean_anchor),
+            stable_fraction=float(frac),
+            svdvals=np.asarray(svdvals),
+            train_error=window_error,
+            grid=grid,
+            grid_errors=g_errs,
+            regularizer_quad=float(lam0[1]) if blocked else None,
+        )
+
+    # --- chained full-span rollouts (W > 1) -------------------------------------
+    q0_global = jax.device_put(states_full[:, 0], NamedSharding(mesh, P()))
 
     @jax.jit
-    def chain_window(O_w, qc, t_w):
-        sols = jax.vmap(lambda O: rom.predict(O, qc, t_w))(O_w)
-        ok = stability_mask(sols, shift, limits)
-        acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
-        mean = acc / jnp.maximum(jnp.sum(ok), 1)
-        return mean, mean[:, -1]
+    def chain_mean(ohat):
+        """Ensemble-mean handoff: window w starts from window w-1's
+        ensemble-mean end state (the round-4 scheme)."""
 
-    with tb("scaled[w]: chained rollout"), mesh:
-        ohat_chain = fac.sample(
-            lam_rows, jax.random.fold_in(k_draw, 8), ndraws
-        ).reshape(ndraws, W, r, d)
-        # Replicate the chain state on the mesh: states_full is committed
-        # to one device while the draws are mesh-sharded.
-        qc = jax.device_put(states_full[:, 0], NamedSharding(mesh, P()))
-        chain_means = []
-        for w in range(W):
-            mean_w, qc = chain_window(ohat_chain[:, w], qc, tw32[w])
-            chain_means.append(mean_w)
-        chain_full = jnp.concatenate(chain_means, axis=1)
-        chain_full.block_until_ready()
-    train_error = float(
-        np.linalg.norm(np.asarray(chain_full) - se_np)
-        / np.linalg.norm(se_np)
-    )
+        def step(qc, inp):
+            O_w, t_w = inp  # (n, r, d), (mw,)
+            sols = jax.vmap(rom.predict, in_axes=(0, None, None))(
+                O_w, qc, t_w
+            )
+            ok = stability_mask(sols, shift, limits)  # (n,)
+            acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
+            mean = acc / jnp.maximum(jnp.sum(ok), 1)
+            return mean[:, -1], mean
 
-    lams_np = np.asarray(lams, np.float64)
+        _, means = jax.lax.scan(
+            step, q0_global, (jnp.swapaxes(ohat, 0, 1), tw32)
+        )
+        return means  # (W, r, mw)
+
+    @jax.jit
+    def chain_draws(ohat):
+        """Draw-wise propagation: each draw chains through its own end
+        states; the mean is over full-span-stable chained draws."""
+
+        def one(O_d):  # (W, r, d)
+            def step(q, inp):
+                O_w, t_w = inp
+                sol = rom.predict(O_w, q, t_w)
+                return sol[:, -1], sol
+
+            _, sols = jax.lax.scan(step, q0_global, (O_d, tw32))
+            return sols  # (W, r, mw)
+
+        sols = jax.vmap(one)(ohat)  # (n, W, r, mw)
+        okw = stability_mask(sols, shift, limits)  # (n, W)
+        ok = jnp.all(okw, axis=1)  # (n,) stable over the FULL span
+        acc = jnp.sum(
+            jnp.where(ok[:, None, None, None], sols, 0.0), axis=0
+        )
+        means = acc / jnp.maximum(jnp.sum(ok), 1)
+        return means, jnp.mean(ok.astype(f32))
+
+    with tb("scaled: chained rollout"), mesh:
+        ohat_chain = sample_draws(
+            params, jax.random.fold_in(k_draw, 8), ndraws
+        )
+        # device_put, not with_sharding_constraint: this is EAGER code, and
+        # the eager sample's placement is compiler-chosen (a cached
+        # executable may pin it to one device) — device_put reshards from
+        # any source layout, the constraint primitive requires the input
+        # already on the mesh devices.
+        ohat_chain = jax.device_put(ohat_chain, draw_sharding)
+        means_mean = chain_mean(ohat_chain)
+        means_draws, _ = chain_draws(ohat_chain)
+        means_draws.block_until_ready()
+
+    def _full_err(means):
+        full = jnp.swapaxes(means, 0, 1).reshape(r, W * mw)
+        return full, float(
+            np.linalg.norm(np.asarray(full) - se_np) / senorm
+        )
+
+    mean_full, chained_mean_err = _full_err(means_mean)
+    draws_full, chained_draws_err = _full_err(means_draws)
+    selected = {
+        "mean": (mean_full, chained_mean_err),
+        "draws": (draws_full, chained_draws_err),
+        "anchor": (mean_anchor, window_error),
+    }[window_chaining]
+
+    if blocked:
+        reg = float(np.exp(np.mean(np.log(lams_np[:, 0]))))
+        reg_quad = float(np.exp(np.mean(np.log(lams_np[:, 1]))))
+    else:
+        reg = float(np.exp(np.mean(np.log(lams_np))))
+        reg_quad = None
     return ScaledResult(
         num_modes=num_modes,
         # geometric mean of the per-window selections (the search is
-        # log-space); the full vector is window_regularizers.
-        regularizer=float(np.exp(np.mean(np.log(lams_np)))),
-        ensemble_mean=np.asarray(chain_full),
+        # log-space); the full table is window_regularizers.
+        regularizer=reg,
+        ensemble_mean=np.asarray(selected[0]),
         stable_fraction=float(frac),
         svdvals=np.asarray(svdvals),
-        train_error=train_error,
+        train_error=selected[1],
         grid=grid,
         grid_errors=errs_np,
+        regularizer_quad=reg_quad,
         time_windows=W,
         window_regularizers=lams_np,
         window_error=window_error,
+        chaining=window_chaining,
+        chained_error_mean=chained_mean_err,
+        chained_error_draws=chained_draws_err,
     )

@@ -177,6 +177,27 @@ class WeightedLSTSQ(NamedTuple):
         Dtz = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
         return TikhonovLSTSQ(DtD, Dtz)
 
+    def matrix_tikhonov(self, Gamma: jnp.ndarray) -> "MatrixTikhonovLSTSQ":
+        """Precompute for a search over SCALED full-matrix regularizers
+        ``scale * Gamma`` (``MatrixTikhonovLSTSQ``): one Gram contraction
+        plus one Gamma^T Gamma per row, after which every candidate scale
+        costs a batched (d x d) Cholesky. Gamma: (d, d) shared or
+        (r, d, d) per row — the general ``opinf.lstsq.TikhonovSolver``
+        surface (reference ``codebase/wlstsq.py:179-181``)."""
+        Gamma = jnp.asarray(Gamma, dtype=self.S.dtype)
+        r, d = self.num_problems, self.num_unknowns
+        if Gamma.shape == (d, d):
+            Gamma = jnp.broadcast_to(Gamma[None], (r, d, d))
+        elif Gamma.shape != (r, d, d):
+            raise ValueError(
+                f"Gamma shape {Gamma.shape} is neither {(d, d)} nor "
+                f"{(r, d, d)}"
+            )
+        DtD = jnp.einsum("rmi,rmj->rij", self.Dt, self.Dt)
+        Dtz = jnp.einsum("rmi,rm->ri", self.Dt, self.zt)
+        G2 = jnp.einsum("rki,rkj->rij", Gamma, Gamma)
+        return MatrixTikhonovLSTSQ(DtD, Dtz, G2)
+
     def covariances(self, lam) -> jnp.ndarray:
         """Dense posterior covariances (r, d, d) — for export/persistence."""
         eigs = self.precision_eigs(lam)
@@ -271,6 +292,75 @@ class TikhonovLSTSQ(NamedTuple):
     def posterior_spd(self, gamma_diag) -> jnp.ndarray:
         """True iff every row precision is SPD (finite Cholesky)."""
         L = self.precision_cholesky(gamma_diag)
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
+
+
+class MatrixTikhonovLSTSQ(NamedTuple):
+    """Normal equations precomputed for a search over SCALED full-matrix
+    Tikhonov regularizers ``scale_i * Gamma_i`` (one fixed Gamma per row,
+    a scalar multiplier searched).
+
+    This is the per-row-Gamma capability of the reference's
+    ``opinf.lstsq.TikhonovSolver`` / ``WeightedLSTSQSolverMulti`` surface
+    (``codebase/wlstsq.py:179-181, 215-304``) made searchable at grid
+    cost: P_i(s) = D~_i^T D~_i + s_i^2 Gamma_i^T Gamma_i, so each
+    candidate is one batched (r, d, d) Cholesky — no refactorization.
+    Build via ``WeightedLSTSQ.matrix_tikhonov``.
+    """
+
+    DtD: jnp.ndarray  # (r, d, d) Gram matrices
+    Dtz: jnp.ndarray  # (r, d) right-hand sides
+    G2: jnp.ndarray  # (r, d, d) Gamma^T Gamma per row
+
+    @property
+    def num_problems(self) -> int:
+        return self.DtD.shape[0]
+
+    @property
+    def num_unknowns(self) -> int:
+        return self.DtD.shape[-1]
+
+    def precision_cholesky(self, scale) -> jnp.ndarray:
+        """Lower Cholesky factors of P = DtD + scale^2 GtG, (r, d, d).
+
+        ``scale``: scalar or (r,) per-row multipliers.
+        """
+        s = jnp.broadcast_to(
+            jnp.asarray(scale, dtype=self.DtD.dtype), (self.num_problems,)
+        )
+        P = self.DtD + (s * s)[:, None, None] * self.G2
+        return jnp.linalg.cholesky(P)
+
+    def solve(self, scale) -> jnp.ndarray:
+        """Posterior mean rows (r, d); matches
+        ``WeightedLSTSQ.solve_tikhonov_matrix(scale * Gamma)``."""
+        L = self.precision_cholesky(scale)
+        return jax.scipy.linalg.cho_solve(
+            (L, True), self.Dtz[..., None]
+        )[..., 0]
+
+    def sample(self, scale, key, ndraws: int) -> jnp.ndarray:
+        """Draw (ndraws, r, d) operator samples from N(mean, P^{-1})."""
+        L = self.precision_cholesky(scale)
+        mean = jax.scipy.linalg.cho_solve(
+            (L, True), self.Dtz[..., None]
+        )[..., 0]
+        xi = jax.random.normal(
+            key,
+            (ndraws, self.num_problems, self.num_unknowns),
+            dtype=self.DtD.dtype,
+        )
+        dev = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2),
+            jnp.moveaxis(xi, 0, -1),
+            lower=False,
+        )
+        return mean[None] + jnp.moveaxis(dev, -1, 0)
+
+    def posterior_spd(self, scale) -> jnp.ndarray:
+        """True iff every row precision is SPD (finite Cholesky)."""
+        L = self.precision_cholesky(scale)
         diag = jnp.diagonal(L, axis1=-2, axis2=-1)
         return jnp.all(jnp.isfinite(diag)) & jnp.all(diag > 0)
 

@@ -41,7 +41,11 @@ def main():
     ap.add_argument("--modes", default="scalar,blocked",
                     help="comma-separated: scalar,blocked")
     ap.add_argument("--windows", type=int, default=1,
-                    help="time_windows (W>1: per-sub-span ROMs; scalar only)")
+                    help="time_windows (W>1: per-sub-span ROMs; composes "
+                    "with any regularization mode)")
+    ap.add_argument("--chaining", default="draws",
+                    choices=("draws", "mean", "anchor"),
+                    help="W>1 boundary scheme for the headline train_error")
     args = ap.parse_args()
 
     if args.cpu:
@@ -74,6 +78,7 @@ def main():
                     data_source="euler",
                     regularization=reg,
                     time_windows=args.windows,
+                    window_chaining=args.chaining,
                     verbose=True,
                 )
                 row = {
@@ -87,10 +92,15 @@ def main():
                 }
                 if args.windows > 1:
                     row["windows"] = args.windows
+                    row["chaining"] = res.chaining
                     row["window_error"] = res.window_error
-                    row["window_lambdas"] = [
-                        float(x) for x in res.window_regularizers
-                    ]
+                    row["chained_error_mean"] = res.chained_error_mean
+                    row["chained_error_draws"] = res.chained_error_draws
+                    import numpy as _np
+
+                    row["window_lambdas"] = _np.asarray(
+                        res.window_regularizers
+                    ).tolist()
             except ValueError as exc:  # all-unstable grid
                 row = {
                     "reg": reg,

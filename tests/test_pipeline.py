@@ -327,12 +327,99 @@ def test_scaled_pipeline_time_windows():
     # rollout should stay in the same regime as the global W=1 run.
     assert res.window_error < 0.3
     assert res.train_error < 0.6
+    # All three boundary-scheme errors are recorded; train_error is the
+    # selected scheme's (default "draws").
+    assert res.chaining == "draws"
+    assert res.train_error == res.chained_error_draws
+    assert np.isfinite(res.chained_error_mean)
+
+    # "anchor" chaining restarts every window from the GP state estimate
+    # at its boundary: the chained error IS the window reconstruction.
+    res_a = run_scaled(time_windows=2, window_chaining="anchor", **kwargs)
+    assert res_a.train_error == res_a.window_error
 
     # Guardrails.
     with pytest.raises(ValueError, match="divide"):
         run_scaled(time_windows=5, **kwargs)
-    with pytest.raises(ValueError, match="scalar regularization"):
-        run_scaled(time_windows=2, regularization="blocked", **kwargs)
+    with pytest.raises(ValueError, match="window_chaining"):
+        run_scaled(time_windows=2, window_chaining="blend", **kwargs)
+
+
+def test_scaled_pipeline_windowed_blocked():
+    """time_windows x blocked compose (the round-4 guard is lifted): each
+    window gets its own (lambda_1, lambda_2) per-operator-block search,
+    screened in one (candidate x draw x window) program."""
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+    from gp_bayesopinf_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"draw": 4, "mode": 2})
+    res = run_scaled(
+        mesh=mesh,
+        n_space=128,
+        n_snapshots=300,
+        num_modes=4,
+        num_gp_samples=80,
+        num_regression_points=96,
+        n_restarts=2,
+        ndraws=16,
+        grid_size=5,
+        modelform="cAH",
+        regularization="blocked",
+        time_windows=2,
+    )
+    assert res.time_windows == 2
+    assert res.window_regularizers.shape == (2, 2)
+    assert np.all(res.window_regularizers > 0)
+    assert res.grid_errors.shape == (5, 5, 2)
+    assert res.regularizer_quad is not None and res.regularizer_quad > 0
+    assert np.isfinite(res.window_error) and res.window_error < 0.5
+    assert res.stable_fraction > 0.5
+
+
+def test_scaled_pipeline_gamma_regularization():
+    """regularization="gamma" searches a scalar multiplier on a
+    user-shaped Tikhonov matrix (per-row diagonal / full matrix / the
+    "colnorm" scaled-Tikhonov preset) — the reference's general
+    ``opinf.lstsq.TikhonovSolver`` surface reachable from the pipeline."""
+    import pytest
+
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+    from gp_bayesopinf_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"draw": 4, "mode": 2})
+    kwargs = dict(
+        mesh=mesh,
+        n_space=128,
+        n_snapshots=300,
+        num_modes=4,
+        num_gp_samples=80,
+        num_regression_points=96,
+        n_restarts=2,
+        ndraws=16,
+        grid_size=6,
+        modelform="cAH",
+    )
+    res = run_scaled(
+        regularization="gamma", tikhonov_gamma="colnorm", **kwargs
+    )
+    assert res.stable_fraction > 0.5
+    assert np.all(np.isfinite(res.ensemble_mean))
+    assert res.regularizer > 0
+
+    # Full-matrix Gamma: identity matrices recover the scalar-ridge
+    # posterior family (mechanics check at d = 1 + 4 + 10 unknowns).
+    d = 1 + 4 + 4 * 5 // 2
+    res_m = run_scaled(
+        regularization="gamma", tikhonov_gamma=np.eye(d), **kwargs
+    )
+    assert res_m.stable_fraction > 0.5
+
+    with pytest.raises(ValueError, match="requires tikhonov_gamma"):
+        run_scaled(regularization="gamma", **kwargs)
+    with pytest.raises(ValueError, match="preset"):
+        run_scaled(
+            regularization="gamma", tikhonov_gamma="rownorm", **kwargs
+        )
 
 
 def test_scaled_pipeline_checkpoint_resume(tmp_path):

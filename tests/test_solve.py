@@ -169,6 +169,65 @@ def test_tikhonov_lstsq_precomputed(problem):
         assert np.max(np.abs(emp - cov)) < 0.1 * np.abs(cov).max()
 
 
+def test_matrix_tikhonov_lstsq_precomputed(problem):
+    """MatrixTikhonovLSTSQ (amortized scaled full-matrix Gamma search)
+    must reproduce ``solve_tikhonov_matrix(scale * Gamma)`` at every
+    candidate scale and deliver correct posterior draw moments."""
+    from gp_bayesopinf_tpu.solve import MatrixTikhonovLSTSQ
+
+    D, sqrtW, rhs = problem
+    fac = weighted_lstsq_fit(
+        jnp.asarray(D), jnp.asarray(sqrtW), jnp.asarray(rhs)
+    )
+    r, d = sqrtW.shape[0], D.shape[-1]
+    rng = np.random.default_rng(13)
+    Gs = rng.standard_normal((r, d, d)) * 0.3 + np.eye(d)
+    mt = fac.matrix_tikhonov(jnp.asarray(Gs))
+    assert isinstance(mt, MatrixTikhonovLSTSQ)
+
+    # Mean parity with the direct (oracle-tested) matrix path across a
+    # scale sweep, including per-row scales.
+    for scale in (0.3, 2.0):
+        np.testing.assert_allclose(
+            np.asarray(mt.solve(scale)),
+            np.asarray(fac.solve_tikhonov_matrix(scale * jnp.asarray(Gs))),
+            rtol=1e-7,
+            atol=1e-9,
+        )
+    scales = np.linspace(0.5, 1.5, r)
+    got = np.asarray(mt.solve(jnp.asarray(scales)))
+    for i in range(r):
+        Dt = np.vstack([sqrtW[i, b] @ D[b] for b in range(D.shape[0])])
+        zt = np.concatenate(
+            [sqrtW[i, b] @ rhs[i, b] for b in range(D.shape[0])]
+        )
+        G = scales[i] * Gs[i]
+        expect = np.linalg.solve(Dt.T @ Dt + G.T @ G, Dt.T @ zt)
+        np.testing.assert_allclose(got[i], expect, rtol=1e-7, atol=1e-9)
+    assert bool(mt.posterior_spd(1.0))
+
+    # Sampling moments: covariance (Dt^T Dt + s^2 G^T G)^{-1}.
+    draws = np.asarray(mt.sample(1.0, jax.random.PRNGKey(17), 20000))
+    mean = np.asarray(mt.solve(1.0))
+    np.testing.assert_allclose(
+        draws.mean(axis=0), mean, atol=5e-2 * np.abs(mean).max() + 1e-3
+    )
+    for i in range(r):
+        Dt = np.vstack([sqrtW[i, b] @ D[b] for b in range(D.shape[0])])
+        P = Dt.T @ Dt + Gs[i].T @ Gs[i]
+        cov = np.linalg.inv(P)
+        emp = (
+            np.einsum(
+                "ni,nj->ij", draws[:, i] - mean[i], draws[:, i] - mean[i]
+            )
+            / draws.shape[0]
+        )
+        assert np.max(np.abs(emp - cov)) < 0.1 * np.abs(cov).max()
+
+    with pytest.raises(ValueError):
+        fac.matrix_tikhonov(jnp.ones((d + 1, d)))
+
+
 def test_blocked_gamma_diag():
     """Per-operator-block diagonal regularizer layout ("cAH": lam2 on the
     quadratic columns, lam1 elsewhere)."""
