@@ -277,6 +277,12 @@ def _mesh_sharded_grid(batched: Callable, mesh, axis: str) -> Callable:
     def call(lams, keys):
         G = lams.shape[0]
         Gp = -(-G // ndev) * ndev
+        if Gp == G:
+            # Aligned grid: no padding. The wrap-index below is a gather
+            # even when it is the identity, and on sharded operands XLA
+            # lowers it as an all-gather — the aligned path must stay
+            # collective-free (tests/test_pipeline.py asserts on the HLO).
+            return fn(lams, keys)
         idx = jnp.arange(Gp) % G
         return fn(lams[idx], keys[idx])[:G]
 

@@ -11,13 +11,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from .mesh import named_sharding
+from ..utils.hostmath import device_put_global
 
 
 def shard_leading_axis(x: jnp.ndarray, mesh: Mesh, axis):
     """Place an array with its leading dimension sharded over ``axis``
     (an axis name, or a tuple of names to shard over several mesh axes)."""
     spec = (axis,) + (None,) * (x.ndim - 1)
-    return jax.device_put(x, named_sharding(mesh, *spec))
+    return device_put_global(x, named_sharding(mesh, *spec))
 
 
 def tall_skinny_svd(
@@ -69,9 +70,9 @@ def tall_skinny_svd(
 
     *batch, M, d = X.shape
     if mesh is not None:
-        X = jax.device_put(X, named_sharding(mesh, *spec))
+        X = device_put_global(X, named_sharding(mesh, *spec))
         rep = lambda nd: named_sharding(mesh, *((None,) * nd))
-        put = lambda A: jax.device_put(A.astype(X.dtype), rep(A.ndim))
+        put = lambda A: device_put_global(A.astype(X.dtype), rep(A.ndim))
     else:
         dev = accelerator_device()
         put = lambda A: jax.device_put(A.astype(X.dtype), dev)
@@ -156,7 +157,7 @@ def randomized_pod(
     eigh64 = host_jit(lambda G: jnp.linalg.eigh(G.astype(jnp.float64)))
     if mesh is not None:
         rep2 = named_sharding(mesh, None, None)
-        back = lambda A: jax.device_put(A.astype(dt), rep2)
+        back = lambda A: device_put_global(A.astype(dt), rep2)
     else:
         from ..utils.hostmath import accelerator_device
 

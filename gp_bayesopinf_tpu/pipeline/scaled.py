@@ -44,7 +44,12 @@ from ..parallel.sharded import randomized_pod, tall_skinny_svd
 from ..rom.model import GalerkinROM
 from ..solve.lstsq import WeightedLSTSQ
 from ..solve.ivp import stability_mask
-from ..utils.hostmath import host_device, host_jit
+from ..utils.hostmath import (
+    device_put_global,
+    fetch_replicated,
+    host_device,
+    host_jit,
+)
 
 _INVPHI = (np.sqrt(5.0) - 1.0) / 2.0
 
@@ -65,7 +70,7 @@ class ScaledResult:
     window_error: float = float("nan")  # re-anchored per-window reconstruction
     chaining: Optional[str] = None  # W > 1: selected boundary scheme
     chained_error_mean: float = float("nan")  # ensemble-mean handoff
-    chained_error_draws: float = float("nan")  # draw-wise propagation
+    chained_error_draws: float = float("nan")  # draw-wise + boundary rescue
 
 
 def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
@@ -185,7 +190,7 @@ def _gp_estimate_windows(ts, Y, sigma2, ell, chi, tw, weight_method, tb):
         from ..gp.lowrank import lowrank_gp_estimates
 
         with tb("scaled: GP estimation (lowrank host f64)"):
-            Y_np = np.asarray(jax.device_get(Y), np.float64)
+            Y_np = np.asarray(fetch_replicated(Y), np.float64)
             hyp = [
                 np.asarray(jax.device_get(x), np.float64)
                 for x in (sigma2, ell, chi)
@@ -464,11 +469,13 @@ def run_scaled(
     ``window_chaining`` selects the boundary scheme for the full-span
     rollout that ``train_error``/``ensemble_mean`` report (W > 1):
 
-    * "draws" (default) — draw-wise propagation: each posterior draw
-      continues from ITS OWN window-w end state, and the ensemble mean
-      is taken over full-span-stable chained trajectories. Keeps every
-      trajectory self-consistent instead of restarting from a mean that
-      averages away phase.
+    * "draws" (default) — draw-wise propagation with boundary rescue:
+      each posterior draw continues from ITS OWN window-w end state
+      (self-consistent trajectories instead of restarting from a mean
+      that averages away phase); a draw that goes envelope-unstable
+      inside a window restarts the next window from the stable draws'
+      mean end state, and each window's ensemble mean is gated on its
+      per-window stable mask.
     * "mean" — window w starts from window w-1's ensemble-mean end
       state (the round-4 scheme; IC error compounds multiplicatively).
     * "anchor" — window w restarts from the GP state estimate at its
@@ -548,12 +555,12 @@ def run_scaled(
     mode_sharding = NamedSharding(mesh, P("mode"))
 
     if resumed is not None:
-        Y = jax.device_put(
+        Y = device_put_global(
             jnp.asarray(resumed["Y"], f32), NamedSharding(mesh, P("mode", None))
         )
         svdvals = jnp.asarray(resumed["svdvals"])
         sigma2, ell, chi = (
-            jax.device_put(jnp.asarray(resumed[k]), mode_sharding)
+            device_put_global(jnp.asarray(resumed[k]), mode_sharding)
             for k in ("sigma2", "ell", "chi")
         )
     else:
@@ -642,7 +649,7 @@ def run_scaled(
             Dt_flat, mesh=mesh, spec=("mode", "draw", None)
         )
         U.block_until_ready()
-    zt_flat = jax.device_put(
+    zt_flat = device_put_global(
         zt_flat, NamedSharding(mesh, P("mode", "draw"))
     )
     Utz = jnp.einsum("rmd,rm->rd", U, zt_flat)
@@ -788,7 +795,7 @@ def run_scaled(
     with tb("scaled: regularization screening"):
         errs = candidate_errors(screen_keys)  # (g, W) or (g, g, W)
         errs.block_until_ready()
-    errs_np = np.asarray(errs)
+    errs_np = np.asarray(fetch_replicated(errs))
     dead = np.all(errs_np.reshape(-1, W) >= 1e12, axis=0)
     if dead.any():
         raise ValueError(
@@ -811,7 +818,8 @@ def run_scaled(
     # descends all W windows' objectives in lockstep (one program call
     # per iteration).
     refine_key = jax.random.fold_in(k_draw, 101)
-    single = jax.jit(lambda p: window_errors(p, refine_key))
+    single_dev = jax.jit(lambda p: window_errors(p, refine_key))
+    single = lambda p: fetch_replicated(single_dev(p))
     logg = np.log10(grid)
     cell = logg[1] - logg[0]
 
@@ -909,12 +917,12 @@ def run_scaled(
         means_w, frac = final_ensemble(jax.random.fold_in(k_draw, 7))
         means_w.block_until_ready()
 
-    mean_anchor = jnp.swapaxes(means_w, 0, 1).reshape(r, W * mw)
+    means_np = np.asarray(fetch_replicated(means_w))  # (W, r, mw)
+    frac = float(np.asarray(fetch_replicated(frac)))
+    mean_anchor = np.swapaxes(means_np, 0, 1).reshape(r, W * mw)
     se_np = np.asarray(states_full)
     senorm = np.linalg.norm(se_np)
-    window_error = float(
-        np.linalg.norm(np.asarray(mean_anchor) - se_np) / senorm
-    )
+    window_error = float(np.linalg.norm(mean_anchor - se_np) / senorm)
 
     lams_np = np.atleast_1d(np.asarray(params_np, np.float64))
     if W == 1:
@@ -923,8 +931,8 @@ def run_scaled(
         return ScaledResult(
             num_modes=num_modes,
             regularizer=float(lam0[0]),
-            ensemble_mean=np.asarray(mean_anchor),
-            stable_fraction=float(frac),
+            ensemble_mean=mean_anchor,
+            stable_fraction=frac,
             svdvals=np.asarray(svdvals),
             train_error=window_error,
             grid=grid,
@@ -933,7 +941,7 @@ def run_scaled(
         )
 
     # --- chained full-span rollouts (W > 1) -------------------------------------
-    q0_global = jax.device_put(states_full[:, 0], NamedSharding(mesh, P()))
+    q0_global = device_put_global(states_full[:, 0], NamedSharding(mesh, P()))
 
     @jax.jit
     def chain_mean(ohat):
@@ -957,26 +965,35 @@ def run_scaled(
 
     @jax.jit
     def chain_draws(ohat):
-        """Draw-wise propagation: each draw chains through its own end
-        states; the mean is over full-span-stable chained draws."""
+        """Draw-wise propagation with boundary rescue: each draw chains
+        through its OWN window-end state, and a draw that violates the
+        stability envelope inside window w restarts window w+1 from the
+        stable draws' mean end state. Without the rescue, requiring
+        full-span stability keeps ZERO draws over 8 production windows
+        (draw-specific operators compound IC drift until every draw
+        trips the envelope somewhere — BASELINE.md windowed table); the
+        per-window means are gated on the per-window stable mask, like
+        the reference's per-window screen."""
 
-        def one(O_d):  # (W, r, d)
-            def step(q, inp):
-                O_w, t_w = inp
-                sol = rom.predict(O_w, q, t_w)
-                return sol[:, -1], sol
+        def step(qs, inp):  # qs: (n, r) per-draw carried states
+            O_w, t_w = inp  # (n, r, d), (mw,)
+            sols = jax.vmap(rom.predict, in_axes=(0, 0, None))(
+                O_w, qs, t_w
+            )  # (n, r, mw)
+            ok = stability_mask(sols, shift, limits)  # (n,)
+            nok = jnp.maximum(jnp.sum(ok), 1)
+            mean = (
+                jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
+                / nok
+            )
+            ends = jnp.where(ok[:, None], sols[:, :, -1], mean[None, :, -1])
+            return ends, (mean, jnp.mean(ok.astype(f32)))
 
-            _, sols = jax.lax.scan(step, q0_global, (O_d, tw32))
-            return sols  # (W, r, mw)
-
-        sols = jax.vmap(one)(ohat)  # (n, W, r, mw)
-        okw = stability_mask(sols, shift, limits)  # (n, W)
-        ok = jnp.all(okw, axis=1)  # (n,) stable over the FULL span
-        acc = jnp.sum(
-            jnp.where(ok[:, None, None, None], sols, 0.0), axis=0
+        q0s = jnp.broadcast_to(q0_global, ohat.shape[:1] + q0_global.shape)
+        _, (means, fracs) = jax.lax.scan(
+            step, q0s, (jnp.swapaxes(ohat, 0, 1), tw32)
         )
-        means = acc / jnp.maximum(jnp.sum(ok), 1)
-        return means, jnp.mean(ok.astype(f32))
+        return means, jnp.mean(fracs)
 
     with tb("scaled: chained rollout"), mesh:
         ohat_chain = sample_draws(
@@ -987,16 +1004,16 @@ def run_scaled(
         # executable may pin it to one device) — device_put reshards from
         # any source layout, the constraint primitive requires the input
         # already on the mesh devices.
-        ohat_chain = jax.device_put(ohat_chain, draw_sharding)
+        ohat_chain = device_put_global(ohat_chain, draw_sharding)
         means_mean = chain_mean(ohat_chain)
         means_draws, _ = chain_draws(ohat_chain)
         means_draws.block_until_ready()
 
     def _full_err(means):
-        full = jnp.swapaxes(means, 0, 1).reshape(r, W * mw)
-        return full, float(
-            np.linalg.norm(np.asarray(full) - se_np) / senorm
-        )
+        full = np.swapaxes(
+            np.asarray(fetch_replicated(means)), 0, 1
+        ).reshape(r, W * mw)
+        return full, float(np.linalg.norm(full - se_np) / senorm)
 
     mean_full, chained_mean_err = _full_err(means_mean)
     draws_full, chained_draws_err = _full_err(means_draws)
@@ -1018,7 +1035,7 @@ def run_scaled(
         # log-space); the full table is window_regularizers.
         regularizer=reg,
         ensemble_mean=np.asarray(selected[0]),
-        stable_fraction=float(frac),
+        stable_fraction=frac,
         svdvals=np.asarray(svdvals),
         train_error=selected[1],
         grid=grid,

@@ -28,8 +28,14 @@ import jax
 
 
 def host_device():
-    """The first CPU device (always present, any backend)."""
-    return jax.devices("cpu")[0]
+    """The first LOCAL CPU device (always present, any backend).
+
+    Local, not global: in a multi-process run ``jax.devices("cpu")[0]``
+    is process 0's device, which other processes cannot place data on —
+    host math must run on each process's own CPU device (identical
+    inputs give identical results, so per-process replication is safe).
+    """
+    return jax.local_devices(backend="cpu")[0]
 
 
 def accelerator_device():
@@ -48,16 +54,56 @@ def on_host(fn: Callable) -> Callable:
     return wrapper
 
 
+def fetch_replicated(x):
+    """Materialize a jax.Array's GLOBAL value on this process's host.
+
+    Single-process (or fully-addressable input): a plain device_get.
+    Multi-process: arrays sharded across processes span non-addressable
+    devices, so the shards are all-gathered first
+    (``multihost_utils.process_allgather`` — one collective, after which
+    every process holds the full value). Non-arrays pass through.
+    """
+    if not isinstance(x, jax.Array):
+        return x
+    if x.is_fully_addressable:
+        return jax.device_get(x)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(x, tiled=True)
+
+
+def device_put_global(x, sharding):
+    """``jax.device_put`` that survives shardings spanning processes.
+
+    Eagerly resharding a COMMITTED ``jax.Array`` onto a sharding with
+    non-addressable devices raises on backends without cross-host
+    transfers (CPU; ``dispatch._is_supported_cross_host_transfer``). A
+    HOST value is always accepted — each process places its local
+    shards — so when the target is not fully addressable the input is
+    detached to host first (allgathered if the source itself spans
+    processes). Fully-addressable targets take the plain zero-copy path.
+    """
+    if isinstance(x, jax.Array) and not getattr(
+        sharding, "is_fully_addressable", True
+    ):
+        x = fetch_replicated(x)
+    return jax.device_put(x, sharding)
+
+
 def host_jit(fn: Callable, **jit_kwargs) -> Callable:
     """jit ``fn`` onto the host CPU device (array inputs are moved there
-    first so accelerator-committed arguments don't fault the placement)."""
+    first so accelerator-committed arguments don't fault the placement;
+    cross-process arrays are all-gathered — host math runs replicated
+    per process)."""
     jitted = jax.jit(fn, **jit_kwargs)
     is_array = lambda x: isinstance(x, jax.Array)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         dev = host_device()
-        move = lambda x: jax.device_put(x, dev) if is_array(x) else x
+        move = lambda x: (
+            jax.device_put(fetch_replicated(x), dev) if is_array(x) else x
+        )
         args = jax.tree_util.tree_map(move, args)
         kwargs = jax.tree_util.tree_map(move, kwargs)
         with jax.default_device(dev):

@@ -442,3 +442,85 @@ def test_scaled_pipeline_checkpoint_resume(tmp_path):
     res2 = run_scaled(**kwargs)  # resumes from the checkpoint
     assert res2.regularizer == res1.regularizer
     np.testing.assert_allclose(res2.ensemble_mean, res1.ensemble_mean)
+
+
+def test_mesh_screen_hlo_zero_collectives():
+    """The mesh-sharded grid screen's compiled HLO contains NO
+    cross-device collectives — candidates are embarrassingly parallel,
+    so sharding the candidate axis must not insert an all-reduce /
+    all-gather / collective-permute (BASELINE.md "Multi-device scaling"
+    relies on this; a silent regression would reintroduce ICI traffic).
+    A positive control proves the harness detects collectives when they
+    ARE expected (the draw-sharded ensemble mean's reduction)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gp_bayesopinf_tpu.bayes.regsearch import (
+        _make_kernel_objective,
+        _mesh_sharded_grid,
+    )
+    from gp_bayesopinf_tpu.parallel import make_mesh
+    from gp_bayesopinf_tpu.rom.model import GalerkinROM
+    from gp_bayesopinf_tpu.solve import weighted_lstsq_fit
+
+    COLLECTIVES = (
+        "all-reduce",
+        "all-gather",
+        "collective-permute",
+        "all-to-all",
+        "reduce-scatter",
+    )
+
+    # Small but production-shaped "cAH" screening problem.
+    rng = np.random.default_rng(3)
+    r, m = 3, 40
+    t = jnp.linspace(0.0, 1.0, m)
+    Q = jnp.asarray(np.exp(-t[None] * (1 + np.arange(r))[:, None]))
+    rom = GalerkinROM("cAH", state_dimension=r, substeps=2)
+    D = rom.data_matrix(Q)[None]
+    sqrtW = jnp.asarray(
+        np.broadcast_to(10.0 * np.eye(m), (r, 1, m, m)).copy()
+    )
+    rhs = jnp.asarray(rng.standard_normal((r, 1, m)) * 0.1)
+    fac = weighted_lstsq_fit(D, sqrtW, rhs)
+
+    mesh = make_mesh({"draw": -1})
+    ndev = int(mesh.shape["draw"])
+    batched = _make_kernel_objective(
+        fac, rom, Q[None, :, 0], t, t, Q[None], ndraws=4, use_pallas=False
+    )
+    # _mesh_sharded_grid pads in Python; compile the shard-mapped core
+    # exactly as the padded call sees it.
+    sharded = _mesh_sharded_grid(batched, mesh, "draw")
+    lams = jnp.asarray(np.logspace(-8, 0, ndev))
+    keys = jax.random.split(jax.random.PRNGKey(0), ndev)
+    lams_s = jax.device_put(lams, NamedSharding(mesh, P("draw")))
+    keys_s = jax.device_put(keys, NamedSharding(mesh, P("draw")))
+    hlo = (
+        jax.jit(lambda l, k: sharded(l, k))
+        .lower(lams_s, keys_s)
+        .compile()
+        .as_text()
+    )
+    found = [c for c in COLLECTIVES if c in hlo]
+    assert not found, f"sharded screen HLO contains collectives: {found}"
+    # The screen actually runs and returns per-candidate errors.
+    vals = np.asarray(sharded(lams_s, keys_s))
+    assert vals.shape == (ndev,) and np.all(np.isfinite(vals))
+
+    # Positive control: a draw-sharded ensemble mean MUST reduce across
+    # devices — proves the textual check sees collectives at all.
+    def ens_mean(x):
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("draw", None))
+        )
+        return jnp.mean(x, axis=0)
+
+    hlo_mean = (
+        jax.jit(ens_mean)
+        .lower(jax.ShapeDtypeStruct((8 * ndev, 16), jnp.float32))
+        .compile()
+        .as_text()
+    )
+    assert any(c in hlo_mean for c in COLLECTIVES), (
+        "positive control failed: no collective in the sharded mean"
+    )
