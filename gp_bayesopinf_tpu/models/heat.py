@@ -185,6 +185,92 @@ class HeatBimodal:
         right = jnp.full((1, t_eval.shape[0]), self.right_bc, dtype=sol.dtype)
         return jnp.concatenate([left, sol, right], axis=0)
 
+    def solve_host(self, initial_conditions, timepoints) -> np.ndarray:
+        """Host-NumPy twin of :meth:`solve` (identical SDIRK2 stepping).
+
+        Truth-model data generation is the reference's scipy-on-host L1
+        stage (``pde_models.py:776-840``); the multi-trajectory pipeline
+        builds a fresh FOM per forcing parameter set, and a traced
+        ``dirk2_solve`` pays per-closure tracing + XLA:CPU compiles for
+        milliseconds of arithmetic — ``solve.ivp.dirk2_solve_np`` runs
+        the same stepping with LAPACK ``dgtsv`` Newton solves instead.
+        """
+        from ..solve.ivp import dirk2_solve_np
+
+        q0 = np.asarray(initial_conditions, np.float64)
+        if q0.shape[0] == self.N + 2:
+            bl, br = float(q0[0]), float(q0[-1])
+            if abs(bl - self.left_bc) > 1e-8 or abs(br - self.right_bc) > 1e-8:
+                raise ValueError(
+                    "initial condition boundary values "
+                    f"({bl:.6g}, {br:.6g}) do not match the Dirichlet "
+                    f"boundary conditions ({self.left_bc:.6g}, "
+                    f"{self.right_bc:.6g})"
+                )
+            q0 = q0[1:-1]
+        elif q0.shape[0] != self.N:
+            raise ValueError(
+                f"initial conditions must have {self.N} (interior) or "
+                f"{self.N + 2} (full-grid) entries, got {q0.shape[0]}"
+            )
+
+        t_eval = np.asarray(timepoints, np.float64)
+        sol = dirk2_solve_np(
+            self._rhs_np,
+            q0,
+            t_eval,
+            jac_tridiag=self._jac_tridiag_np,
+            substeps=self.substeps,
+        )
+        left = np.full((1, t_eval.shape[0]), self.left_bc)
+        right = np.full((1, t_eval.shape[0]), self.right_bc)
+        return np.concatenate([left, sol, right], axis=0)
+
+    # -- NumPy twins of the dynamics (host truth solves) ---------------------------
+    def _rhs_terms_np(self, t, q):
+        dx2inv, c, B = self._ops
+        lap = -2.0 * q
+        lap[:-1] += q[1:]
+        lap[1:] += q[:-1]
+        osc = np.array(
+            [
+                self.a * np.sin(2.0 * np.pi * t),
+                self.b * np.sin(4.0 * np.pi * t),
+            ]
+        )
+        return c + dx2inv * lap + B @ osc
+
+    def _rhs_np(self, t, q):
+        return self._rhs_terms_np(t, q)
+
+    def _jac_diag_extra_np(self, q):
+        return 0.0
+
+    @cached_property
+    def _jac_np_bands(self):
+        """Constant sub/super-diagonals and base diagonal (host NumPy);
+        only the diagonal's reaction term is state-dependent."""
+        dx2inv = self._ops[0]
+        n = self.N
+        dl = np.full(n, dx2inv)
+        dl[0] = 0.0
+        du = np.full(n, dx2inv)
+        du[-1] = 0.0
+        return dl, np.full(n, -2.0 * dx2inv), du
+
+    def _jac_tridiag_np(self, t, q):
+        dl, d_base, du = self._jac_np_bands
+        return dl, d_base + self._jac_diag_extra_np(q), du
+
+    # stacked reaction hooks for the multi-trajectory host solve ------------------
+    @staticmethod
+    def _reaction_np(Q):
+        return 0.0
+
+    @staticmethod
+    def _reaction_jac_diag_np(Q):
+        return 0.0
+
     # rhs hook shared with the cubic subclass -------------------------------------
     def _rhs(self, t, q):
         return self._rhs_terms(t, q)
@@ -328,3 +414,105 @@ class CubicHeatBimodal(HeatBimodal):
 
     def _jac_diag_extra(self, q):
         return -3.0 * q * q
+
+    def _rhs_np(self, t, q):
+        return self._rhs_terms_np(t, q) - q**3
+
+    def _jac_diag_extra_np(self, q):
+        return -3.0 * q * q
+
+    @staticmethod
+    def _reaction_np(Q):
+        return -(Q**3)
+
+    @staticmethod
+    def _reaction_jac_diag_np(Q):
+        return -3.0 * Q * Q
+
+
+def solve_host_stacked(foms, initial_conditions, timepoints) -> np.ndarray:
+    """Solve L heat trajectories as ONE stacked host DIRK2 system.
+
+    The multi-trajectory pipeline's data-generation stage (reference
+    ``PDEsMulti/step1``, scipy BDF per trajectory at
+    ``pde_models.py:776-840``) integrates the same grid/BC/diffusion
+    FOM under L different forcing amplitudes. Each trajectory's Newton
+    matrix is tridiagonal and the trajectories are independent, so
+    concatenating them with zeroed coupling entries at the block
+    boundaries yields one tridiagonal system of size L*N: every Newton
+    iteration is a single LAPACK ``dgtsv`` call and the Python stepping
+    overhead is amortized over all L trajectories (L=5 pipeline stage:
+    5.6 s looped :meth:`HeatBimodal.solve_host` -> ~1 s stacked).
+
+    All ``foms`` must share the grid, BCs, diffusion, substeps and
+    class; only the forcing amplitudes (a, b) differ. Returns
+    (L, N+2, k) full-grid states at ``timepoints``.
+    """
+    from ..solve.ivp import dirk2_solve_np
+
+    f0 = foms[0]
+    cls = type(f0)
+    for f in foms[1:]:
+        if (
+            type(f) is not cls
+            or f.N != f0.N
+            or f.substeps != f0.substeps
+            or f.diffusion != f0.diffusion
+            or f.left_bc != f0.left_bc
+            or f.right_bc != f0.right_bc
+        ):
+            raise ValueError(
+                "solve_host_stacked requires homogeneous FOMs (same grid, "
+                "BCs, diffusion, substeps, class); only the forcing "
+                "amplitudes may differ"
+            )
+
+    L, n = len(foms), f0.N
+    dx2inv, c, Bmat = f0._ops
+    amps = np.array([[f.a, f.b] for f in foms])  # (L, 2)
+
+    q0 = np.asarray(initial_conditions, np.float64)
+    if q0.shape[0] == n + 2:
+        q0 = q0[1:-1]
+    elif q0.shape[0] != n:
+        raise ValueError(
+            f"initial conditions must have {n} (interior) or {n + 2} "
+            f"(full-grid) entries, got {q0.shape[0]}"
+        )
+
+    def rhs(t, qflat):
+        Q = qflat.reshape(L, n)
+        lap = -2.0 * Q
+        lap[:, :-1] += Q[:, 1:]
+        lap[:, 1:] += Q[:, :-1]
+        osc = np.stack(
+            [
+                amps[:, 0] * np.sin(2.0 * np.pi * t),
+                amps[:, 1] * np.sin(4.0 * np.pi * t),
+            ],
+            axis=1,
+        )  # (L, 2)
+        out = c + dx2inv * lap + osc @ Bmat.T + cls._reaction_np(Q)
+        return out.ravel()
+
+    # Constant band skeleton: per-trajectory tridiagonal blocks with the
+    # couplings across block boundaries zeroed.
+    dl = np.full(L * n, dx2inv)
+    du = np.full(L * n, dx2inv)
+    dl[::n] = 0.0
+    du[n - 1 :: n] = 0.0
+    d_base = np.full(L * n, -2.0 * dx2inv)
+
+    def jac_tridiag(t, qflat):
+        extra = cls._reaction_jac_diag_np(qflat.reshape(L, n))
+        return dl, d_base + np.ravel(extra), du
+
+    sol = dirk2_solve_np(
+        rhs, q0[None, :].repeat(L, 0).ravel(), timepoints,
+        jac_tridiag=jac_tridiag, substeps=f0.substeps,
+    )  # (L*n, k)
+    k = sol.shape[1]
+    body = sol.reshape(L, n, k)
+    left = np.full((L, 1, k), f0.left_bc)
+    right = np.full((L, 1, k), f0.right_bc)
+    return np.concatenate([left, body, right], axis=1)

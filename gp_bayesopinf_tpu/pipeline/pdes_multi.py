@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .configs import HeatMultiConfig
 from ..models import CubicHeatBimodal, HeatBimodal
+from ..models.heat import solve_host_stacked
 from ..gp import fit_gaussian_processes
 from ..rom import QuadraticLiftedBasis, GalerkinROM
 from ..solve import weighted_lstsq_fit
@@ -111,15 +112,19 @@ def run_heat_multi(
             )
         )
         t_sampled[0], t_sampled[-1] = training_span
-        true_states, snapshots = [], []
         nkeys = jax.random.split(keys["noise"], L)
-        for ell, params in enumerate(config.input_parameters):
-            fom = make_fom(params)
-            true_states.append(np.asarray(fom.solve(q0_full, t_pred)))
-            snaps = fom.noise(
-                nkeys[ell], fom.solve(q0_full, t_sampled), noiselevel
-            )
-            snapshots.append(np.asarray(snaps))
+        # Host-NumPy truth solves, all L trajectories stacked into one
+        # tridiagonal Newton system (models/heat.py::solve_host_stacked):
+        # the traced path would re-trace + recompile per trajectory
+        # closure, and a per-trajectory host loop pays the Python
+        # stepping overhead L times.
+        foms = [make_fom(p) for p in config.input_parameters]
+        true_states = list(solve_host_stacked(foms, q0_full, t_pred))
+        sampled = solve_host_stacked(foms, q0_full, t_sampled)
+        snapshots = [
+            np.asarray(fom.noise(nkeys[ell], sampled[ell], noiselevel))
+            for ell, fom in enumerate(foms)
+        ]
 
     # Step 2a — joint POD over all trajectories (host-side SVD; see
     # utils.hostmath true-f64 policy).

@@ -138,6 +138,35 @@ def test_cubic_heat_solve_matches_scipy():
     assert np.max(np.abs(got[1:-1] - expect_int)) < 2e-3 * scale
 
 
+def test_heat_solve_host_matches_traced():
+    """The host-NumPy DIRK2 twins (solve_host, solve_host_stacked) must
+    reproduce the traced solver's stepping to machine precision — they
+    are the multi-trajectory pipeline's data-generation path."""
+    from gp_bayesopinf_tpu.models.heat import solve_host_stacked
+
+    x = np.linspace(0, 1, 80)
+    q0_full = np.asarray(HeatBimodal.initial_conditions(x, 0.0, 1.0))
+    t = np.linspace(0, 1, 40)
+    params = [(1.0, -2.0), (-1.5, 0.5), (0.0, 2.0)]
+    foms = [
+        CubicHeatBimodal(x, 0.0, 1.0, diffusion=1e-2, a=a, b=b, substeps=4)
+        for a, b in params
+    ]
+    stacked = solve_host_stacked(foms, q0_full, t)
+    for fom, got in zip(foms, stacked):
+        traced = np.asarray(fom.solve(q0_full, t))
+        host = fom.solve_host(q0_full, t)
+        scale = np.abs(traced).max()
+        assert np.max(np.abs(host - traced)) < 1e-10 * scale
+        assert np.max(np.abs(got - traced)) < 1e-10 * scale
+    # The linear base class shares the stacked path.
+    lin = [HeatBimodal(x, 0.0, 1.0, a=a, b=b, substeps=2) for a, b in params]
+    lst = solve_host_stacked(lin, q0_full, t)
+    for fom, got in zip(lin, lst):
+        traced = np.asarray(fom.solve(q0_full, t))
+        assert np.max(np.abs(got - traced)) < 1e-10 * np.abs(traced).max()
+
+
 def test_heat_noise():
     x = np.linspace(0, 1, 40)
     model = HeatBimodal(x, 0.0, 1.0)
