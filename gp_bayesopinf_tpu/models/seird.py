@@ -21,8 +21,30 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..solve.ivp import rk4_solve
+
+
+def _truncnorm_noise_np(rng, states, noise_level):
+    """Host-NumPy twin of :func:`_truncnorm_noise` (same distribution —
+    the reference's truncated-normal noise model,
+    ``models/ode_models.py`` — sampled by CDF inversion,
+    ``ndtri(ndtr(a) + u (ndtr(b) - ndtr(a)))``, scipy.stats.truncnorm's
+    own default method without its 0.8 s package import). Used by the
+    pipeline's data-generation stage so a fresh process pays neither jax
+    tracing/compiles for the draw programs nor heavyweight imports."""
+    from scipy.special import ndtr, ndtri
+
+    states = np.asarray(states, np.float64)
+    iszero = np.abs(states) < 5e-16
+    std = np.where(iszero, 1e-3, np.abs(noise_level * states))
+    a = np.minimum(0.0, -states / std)
+    b = np.maximum(0.0, (1.0 - states) / std)
+    cdf_a = ndtr(a)
+    u = rng.uniform(size=states.shape)
+    z = ndtri(cdf_a + u * (ndtr(b) - cdf_a))
+    return np.where(iszero, 0.0, states + std * z)
 
 
 def _truncnorm_noise(key, states, noise_level):
@@ -163,6 +185,14 @@ class SEIRD2:
         if not noise_level:
             return states
         return _truncnorm_noise(key, states, noise_level)
+
+    def noise_host(self, rng, states, noise_level=0.0):
+        """Host-NumPy noise twin (:func:`_truncnorm_noise_np`): same
+        truncated-normal model drawn with a NumPy ``Generator`` — the
+        pipeline derives it deterministically from the threaded key."""
+        if not noise_level:
+            return np.asarray(states)
+        return _truncnorm_noise_np(rng, states, noise_level)
 
     # -- visualization ------------------------------------------------------------
     @classmethod

@@ -40,7 +40,7 @@ from ..bayes import (
     KernelScreenSpec,
     auto_regularize,
 )
-from ..utils import key_from_seed, split_tree, TimedBlock
+from ..utils import host_rng, key_from_seed, split_tree, TimedBlock
 from ..utils.hostmath import to_accelerator
 
 
@@ -78,42 +78,41 @@ def sample_trajectory(
     t0, t1 = training_span
     nvars = model.num_variables
 
-    def draw_times(k):
-        if integersonly:
-            choices = jax.random.choice(
-                k, int(t1), shape=(num_samples,), replace=False
-            )
-            t = jnp.sort(choices.astype(jnp.result_type(float)))
-        else:
-            t = jnp.sort(
-                jax.random.uniform(k, (num_samples,), minval=t0, maxval=t1)
-            )
-        return t.at[0].set(t0).at[-1].set(t1)
+    # Everything in this stage is host NumPy — the reference's
+    # scipy/numpy L1 layer (``ODEs/step1_generate_data.py``). The RNG is
+    # derived deterministically from the threaded key (utils.keys
+    # .host_rng), so a fresh pipeline process pays zero jax tracing or
+    # compilation here (measured 1.5 s of small draw-program compiles
+    # per cold process before this).
+    rng = host_rng(key)
 
-    key_t, key_n = jax.random.split(key)
+    def draw_times():
+        if integersonly:
+            t = np.sort(
+                rng.choice(int(t1), size=num_samples, replace=False)
+            ).astype(np.float64)
+        else:
+            t = np.sort(rng.uniform(t0, t1, size=num_samples))
+        t[0], t[-1] = t0, t1
+        return t
+
     q0 = np.asarray(config.initial_conditions)
-    # Truth solves run as host NumPy (the reference's scipy L1 stage) —
-    # see models.seird.SEIRD2.solve_host; only the noise draw uses jax.
     if synced:
-        t = draw_times(key_t)
-        snaps = model.noise(
-            key_n, model.solve_host(q0, np.asarray(t)), noiselevel
-        )
-        sample_times = jnp.broadcast_to(t, (nvars, num_samples))
+        t = draw_times()
+        snaps = model.noise_host(rng, model.solve_host(q0, t), noiselevel)
+        sample_times = np.broadcast_to(t, (nvars, num_samples))
     else:
-        tkeys = jax.random.split(key_t, nvars)
-        nkeys = jax.random.split(key_n, nvars)
         rows, times = [], []
         for i in range(nvars):
-            t = draw_times(tkeys[i])
-            noised = model.noise(
-                nkeys[i], model.solve_host(q0, np.asarray(t)), noiselevel
+            t = draw_times()
+            noised = model.noise_host(
+                rng, model.solve_host(q0, t), noiselevel
             )
             rows.append(noised[i])
             times.append(t)
-        snaps = jnp.stack(rows)
-        sample_times = jnp.stack(times)
-    return sample_times, snaps
+        snaps = np.stack(rows)
+        sample_times = np.stack(times)
+    return jnp.asarray(sample_times), jnp.asarray(snaps)
 
 
 def run_seird(

@@ -19,3 +19,18 @@ def split_tree(key: jax.Array, names: Sequence[str]) -> Dict[str, jax.Array]:
     """Named key split: one independent key per pipeline stage."""
     keys = jax.random.split(key, len(names))
     return dict(zip(names, keys))
+
+
+def host_rng(key: jax.Array) -> "np.random.Generator":
+    """Deterministic NumPy ``Generator`` derived from a threaded jax key.
+
+    Host-side stages (truth solves, training-data draws — the
+    reference's scipy/numpy L1 layer) seed their RNG from the same
+    explicitly threaded key tree as the device stages, so determinism
+    flows from the single pipeline seed without paying jax
+    tracing/compilation for tiny draw programs in every fresh process.
+    """
+    import numpy as np
+
+    data = np.asarray(jax.random.key_data(key)).ravel()
+    return np.random.default_rng(data.astype(np.uint32))
