@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="W>1 boundary scheme for the full-span rollout: "
                         "draw-wise propagation, ensemble-mean handoff, or "
                         "GP re-anchoring at window boundaries")
+    scaled.add_argument("--window-basis", choices=("global", "local"),
+                        default="global", dest="window_basis",
+                        help="W>1: one POD basis of the full span vs a "
+                        "local r-mode basis (+GP fits+envelope) per window "
+                        "with exact cross-basis boundary transfer")
     scaled.add_argument("--weights", choices=("auto", "eigh", "chol",
                                               "lowrank"), default="auto",
                         dest="weight_method",
@@ -261,6 +266,7 @@ def _scaled(args):
         regularization=args.regularization,
         time_windows=args.time_windows,
         window_chaining=args.window_chaining,
+        window_basis=args.window_basis,
         tikhonov_gamma=gamma,
         weight_method=args.weight_method,
         checkpoint_dir=args.checkpoint_dir,
@@ -276,6 +282,7 @@ def _scaled(args):
     if res.time_windows > 1:
         summary["time_windows"] = res.time_windows
         summary["chaining"] = res.chaining
+        summary["window_basis"] = res.window_basis
         summary["window_error"] = float(res.window_error)
         summary["chained_error_mean"] = float(res.chained_error_mean)
         summary["chained_error_draws"] = float(res.chained_error_draws)

@@ -71,6 +71,7 @@ class ScaledResult:
     chaining: Optional[str] = None  # W > 1: selected boundary scheme
     chained_error_mean: float = float("nan")  # ensemble-mean handoff
     chained_error_draws: float = float("nan")  # draw-wise + boundary rescue
+    window_basis: str = "global"  # W > 1: "global" or "local" POD bases
 
 
 def _synthetic_states(key, n: int, k: int, num_modes: int, dtype=jnp.float32):
@@ -226,6 +227,71 @@ def _gp_estimate_windows(ts, Y, sigma2, ell, chi, tw, weight_method, tb):
     with tb("scaled: GP estimation (host f64)"):
         ests = est_fn(
             jnp.asarray(Y, f64),
+            jnp.asarray(sigma2, f64),
+            jnp.asarray(ell, f64),
+            jnp.asarray(chi, f64),
+            jnp.asarray(tw, f64),
+        )
+        ests.state_estimate.block_until_ready()
+    return ests.state_estimate, ests.ddt_estimate, ("chol", ests.weight_root)
+
+
+def _gp_estimate_windows_local(
+    ts_w, Yw, sigma2, ell, chi, tw, weight_method, tb
+):
+    """(W, r, mw) GP estimates for LOCAL window bases: window w's modes
+    condition only on window w's own samples and hyperparameters
+    (``window_basis="local"``; hyperparameters are (W, r)).
+
+    Same contract as :func:`_gp_estimate_windows` — returns
+    ``(state_est64, ddt_est64, weight_ctx)`` with the "chol" dense path
+    (reference exact-sqrtW semantics, ``codebase/gpkernels.py:445-504``)
+    or the "lowrank" factored path (``gp.lowrank``, SURVEY section 2e).
+    """
+    f64 = jnp.float64
+    W, mw = tw.shape
+    r = Yw.shape[1]
+
+    if weight_method == "lowrank":
+        from ..gp.lowrank import lowrank_gp_estimates
+
+        with tb("scaled: GP estimation (lowrank host f64)"):
+            Y_np = np.asarray(fetch_replicated(Yw), np.float64)
+            hyp = [
+                np.asarray(jax.device_get(x), np.float64)
+                for x in (sigma2, ell, chi)
+            ]
+            roots = []
+            state_np = np.empty((W, r, mw))
+            ddt_np = np.empty((W, r, mw))
+            for w in range(W):
+                row = []
+                for i in range(r):
+                    e = lowrank_gp_estimates(
+                        np.asarray(ts_w[w]), Y_np[w, i], tw[w],
+                        hyp[0][w, i], hyp[1][w, i], hyp[2][w, i], eta=1e-8,
+                    )
+                    state_np[w, i] = e.state_estimate
+                    ddt_np[w, i] = e.ddt_estimate
+                    row.append(e.root)
+                roots.append(row)
+        return jnp.asarray(state_np), jnp.asarray(ddt_np), ("lowrank", roots)
+
+    est_fn = host_jit(
+        jax.vmap(  # windows: sample times, data, hyps AND est grid map
+            jax.vmap(  # modes: share the window's sample/est grids
+                lambda t, y, s2, l, c, te: gp_estimates(
+                    t, y, te, s2, l, c, eta=1e-8, method="chol"
+                ),
+                in_axes=(None, 0, 0, 0, 0, None),
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0),
+        )
+    )
+    with tb("scaled: GP estimation (host f64)"):
+        ests = est_fn(
+            jnp.asarray(ts_w, f64),
+            jnp.asarray(Yw, f64),
             jnp.asarray(sigma2, f64),
             jnp.asarray(ell, f64),
             jnp.asarray(chi, f64),
@@ -405,6 +471,7 @@ def run_scaled(
     time_windows: int = 1,
     window_chaining: str = "draws",
     tikhonov_gamma: Union[None, str, np.ndarray] = None,
+    window_basis: str = "global",
 ) -> ScaledResult:
     """Run the sharded scaled pipeline end to end.
 
@@ -488,6 +555,21 @@ def run_scaled(
     ``chained_error_draws``, ``window_error``); ``train_error`` is the
     selected scheme's. ``window_regularizers`` holds the per-window
     selections ((W,) scalar/gamma, (W, 2) blocked).
+
+    ``window_basis`` (W > 1): "global" projects every window onto ONE
+    POD basis of the full training span (the round-4 scheme); "local"
+    gives each window its OWN r-mode POD basis, GP fits, and envelope
+    (the classic local-ROM construction). Local bases attack the
+    diagnosed r-limited failure mode at production shapes: with a
+    global basis the late, wave-steepened windows carry most of the
+    projection error (window 8's search collapses to degenerate
+    regularizers at r=12 regardless of scalar/blocked mode —
+    BASELINE.md round-5 windowed table), while r local modes represent
+    each sub-span's snapshots near-optimally. Chained rollouts hand
+    states across windows through the exact full-space transfer
+    ``q_{w+1} = B_{w+1}^T (mu_w + B_w q_w - mu_{w+1})`` (orthonormal
+    bases; coefficient-space error norms therefore remain full-space
+    reconstruction errors of the centered states).
     """
     import os
 
@@ -519,6 +601,18 @@ def run_scaled(
         )
     if window_chaining not in ("draws", "mean", "anchor"):
         raise ValueError(f"unknown window_chaining '{window_chaining}'")
+    if window_basis not in ("global", "local"):
+        raise ValueError(f"unknown window_basis '{window_basis}'")
+    local_basis = window_basis == "local"
+    if local_basis:
+        if time_windows < 2:
+            raise ValueError("window_basis='local' requires time_windows > 1")
+        if n_snapshots % time_windows:
+            raise ValueError("n_snapshots must divide into time_windows")
+        if num_gp_samples % time_windows:
+            raise ValueError(
+                "num_gp_samples must divide into time_windows"
+            )
 
     if mesh is None:
         n_dev = len(jax.devices())
@@ -536,11 +630,14 @@ def run_scaled(
         if checkpoint_dir
         else None
     )
+    ckpt_shape = [
+        n_space, n_snapshots, num_modes, seed, data_source,
+        window_basis, time_windows if local_basis else 0,
+    ]
     resumed = None
     if ckpt_path and os.path.isdir(ckpt_path):
         state, meta = load_checkpoint(ckpt_path)
-        if meta.get("shape") == [n_space, n_snapshots, num_modes, seed,
-                                 data_source]:
+        if meta.get("shape") == ckpt_shape:
             resumed = state
 
     t_all = np.linspace(0.0, 1.0, n_snapshots)
@@ -554,7 +651,99 @@ def run_scaled(
     ts = t_all[sample_idx]  # (m,) f64 host
     mode_sharding = NamedSharding(mesh, P("mode"))
 
-    if resumed is not None:
+    if local_basis:
+        # --- per-window POD bases + per-window GP fits ------------------------
+        # Each window gets its own r-mode basis of its own (centered)
+        # snapshot block, its own GP sample draw and its own batched
+        # hyperparameter fit — the local-ROM construction. The W PODs
+        # reuse the sharded randomized range finder (identical program,
+        # W executions on (n, k/W) blocks).
+        Wl = time_windows
+        kw_ = n_snapshots // Wl
+        mws = num_gp_samples // Wl
+        idx_w = np.stack(
+            [
+                np.sort(
+                    np.asarray(
+                        jax.random.choice(
+                            jax.random.fold_in(k_fit, 200 + w),
+                            kw_, (mws,), replace=False,
+                        )
+                    )
+                )
+                for w in range(Wl)
+            ]
+        )  # (W, mws) indices within each window's block
+        ts_w = np.stack(
+            [t_all[w * kw_ + idx_w[w]] for w in range(Wl)]
+        )  # (W, mws)
+
+        if resumed is not None:
+            Yw = jnp.asarray(resumed["Y"], f32)  # (W, r, mws)
+            svdvals = jnp.asarray(resumed["svdvals"])
+            sigma2, ell, chi = (
+                jnp.asarray(resumed[k]) for k in ("sigma2", "ell", "chi")
+            )  # (W, r)
+            bases32 = jnp.asarray(resumed["bases"], f32)  # (W, n, r)
+            mus32 = jnp.asarray(resumed["mus"], f32)  # (W, n)
+        else:
+            space_axes = tuple(mesh.axis_names)
+            with tb("scaled: data generation"):
+                states = (
+                    _euler_states(k_data, n_space, n_snapshots)
+                    if data_source == "euler"
+                    else _synthetic_states(
+                        k_data, n_space, n_snapshots, num_modes
+                    )
+                )
+                states.block_until_ready()
+            blist, mlist, svlist, ylist = [], [], [], []
+            with tb("scaled: per-window POD"):
+                for w in range(Wl):
+                    Sw = states[:, w * kw_ : (w + 1) * kw_]
+                    mu = jnp.mean(Sw, axis=1, keepdims=True)
+                    Cw = Sw - mu
+                    Bw, sv = randomized_pod(
+                        Cw, num_modes, mesh=mesh, row_axis=space_axes,
+                        key=jax.random.fold_in(k_data, 11 + w),
+                    )
+                    blist.append(jnp.asarray(Bw, f32))
+                    mlist.append(mu[:, 0].astype(f32))
+                    svlist.append(sv)
+                    ylist.append((Bw.T @ Cw)[:, idx_w[w]])  # (r, mws)
+            bases32 = jnp.stack(blist)  # (W, n, r)
+            mus32 = jnp.stack(mlist)  # (W, n)
+            svdvals = jnp.stack(svlist)  # (W, l)
+            Yw = jnp.stack(ylist).astype(f32)  # (W, r, mws)
+
+            box = BoxTransform.from_bounds(
+                (1e-5, 1e5), (1e-3, 1e2), (1e-10, 1e2)
+            )
+            with tb("scaled: GP fit (per-window)"):
+                # One compiled fit program (same shapes each window), W
+                # executions; restarts stay one vmapped device batch.
+                hyps = [
+                    fit_gp_hyperparameters(
+                        jnp.asarray(ts_w[w]), Yw[w], box,
+                        jax.random.fold_in(k_fit, 1 + w),
+                        n_restarts=n_restarts, adam_steps=150,
+                        polish_iters=30,
+                    )
+                    for w in range(Wl)
+                ]
+            sigma2 = jnp.stack([h.sigma2 for h in hyps])  # (W, r)
+            ell = jnp.stack([h.ell for h in hyps])
+            chi = jnp.stack([h.chi for h in hyps])
+            if ckpt_path:
+                save_checkpoint(
+                    ckpt_path,
+                    pipeline_stage_state(
+                        Y=Yw, svdvals=svdvals, sigma2=sigma2, ell=ell,
+                        chi=chi, bases=bases32, mus=mus32,
+                    ),
+                    metadata={"shape": ckpt_shape},
+                )
+    elif resumed is not None:
         Y = device_put_global(
             jnp.asarray(resumed["Y"], f32), NamedSharding(mesh, P("mode", None))
         )
@@ -612,11 +801,7 @@ def run_scaled(
                 pipeline_stage_state(
                     Y=Y, svdvals=svdvals, sigma2=sigma2, ell=ell, chi=chi
                 ),
-                metadata={
-                    "shape": [
-                        n_space, n_snapshots, num_modes, seed, data_source
-                    ]
-                },
+                metadata={"shape": ckpt_shape},
             )
 
     # ------------------------------------------------------------------
@@ -632,9 +817,14 @@ def run_scaled(
     if weight_method == "auto":
         weight_method = "lowrank" if mw >= 1024 else "chol"
 
-    state_est64, ddt_est64, weight_ctx = _gp_estimate_windows(
-        ts, Y, sigma2, ell, chi, tw, weight_method, tb
-    )  # (W, r, mw) each
+    if local_basis:
+        state_est64, ddt_est64, weight_ctx = _gp_estimate_windows_local(
+            ts_w, Yw, sigma2, ell, chi, tw, weight_method, tb
+        )  # (W, r, mw) each
+    else:
+        state_est64, ddt_est64, weight_ctx = _gp_estimate_windows(
+            ts, Y, sigma2, ell, chi, tw, weight_method, tb
+        )  # (W, r, mw) each
     Dt, zt = _weight_windows(rom, state_est64, ddt_est64, weight_ctx, tb)
     d = Dt.shape[-1]
 
@@ -660,16 +850,32 @@ def run_scaled(
     states_full = jnp.swapaxes(states_w32, 0, 1).reshape(r, W * mw)
     tw32 = jnp.asarray(tw, f32)
     q0s = states_w32[:, :, 0]  # (W, r) per-window GP-estimate ICs
-    shift = jnp.mean(states_full, axis=1)
-    limits = 5.0 * jnp.max(jnp.abs(states_full - shift[:, None]), axis=1)
-    # Floor the per-mode envelope at envelope_floor x the global mode
+    # Floor the per-mode envelope at envelope_floor x the largest mode
     # scale: trailing POD modes whose GP estimate is (correctly) smoothed
     # to near-flat would otherwise have a ~zero envelope that rejects
     # EVERY posterior draw. The reference's per-variable 5x rule
     # (PDEs/step3_estimate.py) never meets this because its r <= 8 modes
     # all carry signal; envelope_floor=0 restores the strict semantics.
-    if envelope_floor:
-        limits = jnp.maximum(limits, envelope_floor * jnp.max(limits))
+    if local_basis:
+        # Local coefficients only exist within their window, so the 5x
+        # envelope is per (window, mode); stability_mask broadcasts the
+        # (W, r) arrays against (draws, W, r, mw) rollouts.
+        shift = jnp.mean(states_w32, axis=2)  # (W, r)
+        limits = 5.0 * jnp.max(
+            jnp.abs(states_w32 - shift[:, :, None]), axis=2
+        )
+        if envelope_floor:
+            limits = jnp.maximum(
+                limits,
+                envelope_floor * jnp.max(limits, axis=1, keepdims=True),
+            )
+    else:
+        shift = jnp.mean(states_full, axis=1)
+        limits = 5.0 * jnp.max(
+            jnp.abs(states_full - shift[:, None]), axis=1
+        )
+        if envelope_floor:
+            limits = jnp.maximum(limits, envelope_floor * jnp.max(limits))
     grid = np.logspace(-12, 6, grid_size)
     grid32 = jnp.asarray(grid, f32)
     draw_sharding = NamedSharding(mesh, P("draw", None, None, None))
@@ -943,24 +1149,46 @@ def run_scaled(
     # --- chained full-span rollouts (W > 1) -------------------------------------
     q0_global = device_put_global(states_full[:, 0], NamedSharding(mesh, P()))
 
+    # Per-window envelopes + boundary transfer maps for the scan steps.
+    # Global basis: envelopes replicate and the transfer is the identity.
+    # Local bases: window w's end state crosses into window w+1's frame
+    # through the exact full-space map q' = B_{w+1}^T (mu_w + B_w q -
+    # mu_{w+1}) (orthonormal bases); the last window carries an identity
+    # so the scan inputs stay rectangular.
+    shift_s = jnp.broadcast_to(shift, (W, r))
+    limits_s = jnp.broadcast_to(limits, (W, r))
+    if local_basis:
+        Tmat = jnp.einsum("wnr,wns->wrs", bases32[1:], bases32[:-1])
+        bvec = jnp.einsum(
+            "wnr,wn->wr", bases32[1:], mus32[:-1] - mus32[1:]
+        )
+        Tmat = jnp.concatenate(
+            [Tmat, jnp.eye(r, dtype=f32)[None]], axis=0
+        )
+        bvec = jnp.concatenate([bvec, jnp.zeros((1, r), f32)], axis=0)
+    else:
+        Tmat = jnp.broadcast_to(jnp.eye(r, dtype=f32), (W, r, r))
+        bvec = jnp.zeros((W, r), f32)
+    chain_xs = lambda ohat: (
+        jnp.swapaxes(ohat, 0, 1), tw32, shift_s, limits_s, Tmat, bvec
+    )
+
     @jax.jit
     def chain_mean(ohat):
         """Ensemble-mean handoff: window w starts from window w-1's
         ensemble-mean end state (the round-4 scheme)."""
 
         def step(qc, inp):
-            O_w, t_w = inp  # (n, r, d), (mw,)
+            O_w, t_w, sh_w, li_w, T_w, b_w = inp  # (n, r, d), (mw,), ...
             sols = jax.vmap(rom.predict, in_axes=(0, None, None))(
                 O_w, qc, t_w
             )
-            ok = stability_mask(sols, shift, limits)  # (n,)
+            ok = stability_mask(sols, sh_w, li_w)  # (n,)
             acc = jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
             mean = acc / jnp.maximum(jnp.sum(ok), 1)
-            return mean[:, -1], mean
+            return T_w @ mean[:, -1] + b_w, mean
 
-        _, means = jax.lax.scan(
-            step, q0_global, (jnp.swapaxes(ohat, 0, 1), tw32)
-        )
+        _, means = jax.lax.scan(step, q0_global, chain_xs(ohat))
         return means  # (W, r, mw)
 
     @jax.jit
@@ -976,23 +1204,21 @@ def run_scaled(
         the reference's per-window screen."""
 
         def step(qs, inp):  # qs: (n, r) per-draw carried states
-            O_w, t_w = inp  # (n, r, d), (mw,)
+            O_w, t_w, sh_w, li_w, T_w, b_w = inp  # (n, r, d), (mw,), ...
             sols = jax.vmap(rom.predict, in_axes=(0, 0, None))(
                 O_w, qs, t_w
             )  # (n, r, mw)
-            ok = stability_mask(sols, shift, limits)  # (n,)
+            ok = stability_mask(sols, sh_w, li_w)  # (n,)
             nok = jnp.maximum(jnp.sum(ok), 1)
             mean = (
                 jnp.sum(jnp.where(ok[:, None, None], sols, 0.0), axis=0)
                 / nok
             )
             ends = jnp.where(ok[:, None], sols[:, :, -1], mean[None, :, -1])
-            return ends, (mean, jnp.mean(ok.astype(f32)))
+            return ends @ T_w.T + b_w, (mean, jnp.mean(ok.astype(f32)))
 
-        q0s = jnp.broadcast_to(q0_global, ohat.shape[:1] + q0_global.shape)
-        _, (means, fracs) = jax.lax.scan(
-            step, q0s, (jnp.swapaxes(ohat, 0, 1), tw32)
-        )
+        q0s_d = jnp.broadcast_to(q0_global, ohat.shape[:1] + q0_global.shape)
+        _, (means, fracs) = jax.lax.scan(step, q0s_d, chain_xs(ohat))
         return means, jnp.mean(fracs)
 
     with tb("scaled: chained rollout"), mesh:
@@ -1045,6 +1271,7 @@ def run_scaled(
         window_regularizers=lams_np,
         window_error=window_error,
         chaining=window_chaining,
+        window_basis=window_basis,
         chained_error_mean=chained_mean_err,
         chained_error_draws=chained_draws_err,
     )

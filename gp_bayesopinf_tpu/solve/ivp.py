@@ -372,18 +372,23 @@ def stability_mask(
     Parameters
     ----------
     solution : (..., n, k) array.
-    shift : (n,) or (n, 1) array.
-    limits : (n,) array.
+    shift : (n,) or (n, 1) array; leading batch dims that broadcast
+        against ``solution``'s are allowed (e.g. per-window (W, n)
+        envelopes against (draws, W, n, k) rollouts — the local-basis
+        windowed pipeline).
+    limits : (n,) array (same batching rule).
 
     Returns
     -------
     (...,) bool array — True where the trajectory is STABLE.
     """
-    shift = shift.reshape((-1, 1))
+    shift = jnp.asarray(shift)
+    if shift.ndim == 2 and shift.shape[-1] == 1:  # legacy (n, 1) form
+        shift = shift[:, 0]
     finite = jnp.all(
         jnp.isfinite(solution) & (jnp.abs(solution) < DIVERGED), axis=(-2, -1)
     )
-    dev = jnp.max(jnp.abs(solution - shift), axis=-1)  # (..., n)
+    dev = jnp.max(jnp.abs(solution - shift[..., None]), axis=-1)  # (..., n)
     inside = jnp.all(dev <= limits, axis=-1)
     return finite & inside
 

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--chaining", default="draws",
                     choices=("draws", "mean", "anchor"),
                     help="W>1 boundary scheme for the headline train_error")
+    ap.add_argument("--window-basis", default="global",
+                    choices=("global", "local"),
+                    help="W>1: one global POD basis vs per-window bases")
     args = ap.parse_args()
 
     if args.cpu:
@@ -79,6 +82,10 @@ def main():
                     regularization=reg,
                     time_windows=args.windows,
                     window_chaining=args.chaining,
+                    window_basis=args.window_basis,
+                    # "gamma" searches lambda * Gamma with the classic
+                    # column-norm-scaled Tikhonov diagonal.
+                    tikhonov_gamma="colnorm" if reg == "gamma" else None,
                     verbose=True,
                 )
                 row = {
@@ -93,6 +100,7 @@ def main():
                 if args.windows > 1:
                     row["windows"] = args.windows
                     row["chaining"] = res.chaining
+                    row["window_basis"] = res.window_basis
                     row["window_error"] = res.window_error
                     row["chained_error_mean"] = res.chained_error_mean
                     row["chained_error_draws"] = res.chained_error_draws

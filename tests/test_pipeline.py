@@ -345,6 +345,53 @@ def test_scaled_pipeline_time_windows():
         run_scaled(time_windows=2, window_chaining="blend", **kwargs)
 
 
+def test_scaled_pipeline_local_window_basis():
+    """window_basis='local' gives each window its own POD basis, GP
+    fits, envelope, and exact cross-basis boundary transfer. At this
+    Euler-FOM config the GLOBAL r=6 basis cannot represent window 0
+    (its search selects a degenerate ceiling regularizer, window error
+    ~100%) while LOCAL bases reconstruct every window to a few percent
+    — the tiny-shape reproduction of the production r=12 failure mode
+    (BASELINE.md round-5 windowed table)."""
+    import pytest
+
+    from gp_bayesopinf_tpu.pipeline.scaled import run_scaled
+
+    kwargs = dict(
+        n_space=3 * 40,
+        n_snapshots=1600,
+        num_modes=6,
+        num_gp_samples=128,
+        num_regression_points=256,
+        n_restarts=4,
+        ndraws=24,
+        grid_size=6,
+        seed=0,
+        modelform="cAH",
+        data_source="euler",
+        time_windows=4,
+        window_chaining="anchor",
+    )
+    res = run_scaled(window_basis="local", **kwargs)
+    assert res.window_basis == "local"
+    assert res.window_regularizers.shape == (4,)
+    assert res.stable_fraction > 0.9
+    # Local bases must reconstruct every window accurately AND chain
+    # through the cross-basis transfer without blowing up (measured at
+    # this config: window 2.6%, chained 8%; global basis: 100%/150%).
+    assert res.window_error < 0.10
+    assert res.chained_error_mean < 0.30
+    assert res.chained_error_draws < 0.30
+
+    # Guardrails.
+    with pytest.raises(ValueError, match="window_basis"):
+        run_scaled(window_basis="per-mode", **kwargs)
+    with pytest.raises(ValueError, match="time_windows > 1"):
+        run_scaled(
+            **{**kwargs, "time_windows": 1, "window_basis": "local"}
+        )
+
+
 def test_scaled_pipeline_windowed_blocked():
     """time_windows x blocked compose (the round-4 guard is lifted): each
     window gets its own (lambda_1, lambda_2) per-operator-block search,
