@@ -36,6 +36,13 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+# Pivoted-Cholesky stopping tolerance as a fraction of the eta*I
+# regularizer (``lowrank_gp_estimates(tol_factor=None)`` reads this).
+# Set by the round-5 fidelity sweep (docs/lowrank_weight_root.md): the
+# value at which the ex1c (m'=3200) stable count lands within ~1% of the
+# dense exact-sqrtW path.
+DEFAULT_TOL_FACTOR = 1e-8
+
 __all__ = [
     "LowRankWeightRoot",
     "lowrank_gp_estimates",
@@ -214,7 +221,7 @@ def lowrank_gp_estimates(
     ell: float,
     chi: float,
     eta: float = 1e-8,
-    tol_factor: float = 1e-8,
+    tol_factor: Optional[float] = None,
     max_rank: Optional[int] = None,
     refine: bool = True,
 ) -> LowRankEstimates:
@@ -228,9 +235,12 @@ def lowrank_gp_estimates(
     Parameters
     ----------
     tol_factor
-        Pivoted-Cholesky stopping tolerance as a fraction of ``eta``;
-        the neglected tail of C is then invisible next to the eta*I
-        regularization the reference already adds.
+        Pivoted-Cholesky stopping tolerance as a fraction of ``eta``
+        (None = module default ``DEFAULT_TOL_FACTOR``); the neglected
+        tail of C is then invisible next to the eta*I regularization
+        the reference already adds. The fidelity bound vs the dense
+        exact-sqrtW semantics is measured in
+        ``docs/lowrank_weight_root.md`` (round-5 tolerance sweep).
     max_rank
         Cap on the retained rank (default min(m', 4 + m' // 2)); hitting
         the cap signals C is not numerically low rank at this tolerance
@@ -273,6 +283,8 @@ def lowrank_gp_estimates(
 
     if max_rank is None:
         max_rank = min(t_est.shape[0], 4 + t_est.shape[0] // 2)
+    if tol_factor is None:
+        tol_factor = DEFAULT_TOL_FACTOR
     tol = tol_factor * eta
     U, resid = _pivoted_cholesky_C(
         t_est, K_zy, V, diag_C, sigma2, ell, tol, max_rank
