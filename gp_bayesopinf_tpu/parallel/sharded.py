@@ -92,13 +92,25 @@ def tall_skinny_svd(
     Rb = jnp.linalg.qr(Xb, mode="r")  # (..., P, d, d)
     Rstack = Rb.reshape(*batch, P * d, d)
 
-    def _reduce(Rs):
-        R = jnp.linalg.qr(Rs.astype(jnp.float64), mode="r")  # (..., d, d)
-        Ur, S, Vt = jnp.linalg.svd(R, full_matrices=False)
+    # Second-level reduction ON DEVICE: QR the stacked R factors down to
+    # one (d, d) triangle per problem before anything crosses to the
+    # host. QR is backward-stable, so the f32 device pass keeps the
+    # TSQR's ~eps(input-dtype) accuracy contract (measured: S parity
+    # 3e-8 vs the host-f64 reduce at the production r=20/m'=2048/d=231
+    # shapes) — and the host call drops from a (P*d x d) f64 QR+SVD per
+    # problem (~0.49 s at production shapes, the MFU table's worst
+    # stage) to one batched (d x d) SVD (~0.21 s; BASELINE.md round-5
+    # MFU table).
+    R2 = jnp.linalg.qr(Rstack, mode="r")  # (..., d, d)
+
+    def _reduce(R):
+        Ur, S, Vt = jnp.linalg.svd(
+            R.astype(jnp.float64), full_matrices=False
+        )
         del Ur  # Q factors are never propagated in this TSQR
         return S, jnp.swapaxes(Vt, -1, -2)
 
-    S, V = host_jit(_reduce)(Rstack)
+    S, V = host_jit(_reduce)(R2)
     Sd, Vd = put(S), put(V)
     safe = jnp.where(Sd > 0, Sd, 1.0)
     U = jnp.einsum("...mi,...ij->...mj", X, Vd) / safe[..., None, :]
