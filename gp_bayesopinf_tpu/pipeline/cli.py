@@ -138,6 +138,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = single device)")
     scaled.add_argument("--quiet", action="store_true")
 
+    serve = subs.add_parser(
+        "serve",
+        help="persistent-process server: read one pipeline command per "
+        "stdin line (plain argv text or a JSON {\"argv\": [...]} object), "
+        "run it in-process so every jit/AOT program stays resident, and "
+        "print one JSON ack line per command; 'quit' or EOF ends the "
+        "session (deployment answer to the per-process program-load "
+        "latency measured in BASELINE.md)",
+    )
+    serve.set_defaults()
+
     warm = subs.add_parser(
         "warmup",
         help="seed the persistent compile + AOT program caches by running "
@@ -161,6 +172,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.pipeline == "serve":
+        return _serve()
     if args.pipeline == "warmup":
         return _warmup(args.pipelines, args.ndraws)
     if args.pipeline == "scaled":
@@ -290,6 +303,67 @@ def _scaled(args):
             res.window_regularizers
         ).tolist()
     print(json.dumps(summary))
+    return 0
+
+
+def _serve():
+    """Persistent-process command server over stdin/stdout.
+
+    Why: the BASELINE.md round-5 stage instrumentation shows the warm
+    per-process cost of a pipeline run is dominated by program
+    materialization (AOT program load + dispatch assembly on small
+    hosts, ~6 s for the SEIRD search stage alone), not compute
+    (~30 ms/chunk). A deployment issuing many runs should pay that
+    once: ``gpboi serve`` keeps one process alive, so every jitted /
+    AOT-loaded executable, host LAPACK import, and Pallas kernel stays
+    resident across commands.
+
+    Protocol: one command per stdin line — either plain argv text
+    (``seird 90 90 0.10 360 --ndraws 600 --nolog``) or a JSON object
+    ``{"argv": ["seird", ...]}``. Blank lines and ``#`` comments are
+    ignored; ``quit`` / ``exit`` / EOF ends the session. After each
+    command's normal output, ONE JSON ack line
+    ``{"serve": {"rc": ..., "wall_s": ..., "argv": [...]}}`` is
+    printed and flushed (``"error"`` carries the repr on failure; a
+    failed command never kills the server).
+
+    No reference counterpart: the reference restarts Python per
+    experiment (``*/experiments.sh``), re-paying import + sklearn fit
+    setup each time — this is the TPU deployment answer.
+    """
+    import json
+    import shlex
+    import sys
+    import time
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line in ("quit", "exit"):
+            break
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError:
+            argv = shlex.split(line)
+        else:
+            argv = req["argv"] if isinstance(req, dict) else req
+            argv = [str(a) for a in argv]
+        t0 = time.time()
+        if argv[:1] == ["serve"]:
+            ack = {"rc": 2, "error": "cannot nest serve", "argv": argv}
+        else:
+            try:
+                rc = main(argv)
+                ack = {"rc": int(rc or 0)}
+            except SystemExit as exc:  # argparse rejected the argv
+                code = exc.code if isinstance(exc.code, int) else 2
+                ack = {"rc": code, "error": "argparse rejected argv"}
+            except Exception as exc:  # run failed; keep serving
+                ack = {"rc": 1, "error": repr(exc)}
+            ack["wall_s"] = round(time.time() - t0, 2)
+            ack["argv"] = argv
+        print(json.dumps({"serve": ack}), flush=True)
     return 0
 
 

@@ -94,6 +94,43 @@ def test_cli_scaled_end_to_end(capsys):
     assert summary["regularizer"] > 0
 
 
+def test_cli_serve(capsys, monkeypatch):
+    """`gpboi serve` runs commands from stdin in one warm process —
+    plain-argv and JSON forms, one JSON ack line each, a failing
+    command does not kill the server, nested serve is rejected, and
+    'quit' ends the session with rc 0."""
+    import io
+    import json
+
+    from gp_bayesopinf_tpu.pipeline import cli
+
+    tiny = ("scaled --n-space 96 --k 240 --modes 4 --gp-samples 64 "
+            "--mprime 96 --restarts 2 --ndraws 16 --grid-size 6 "
+            "--modelform cAH --quiet")
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "# comment, then a blank line\n"
+        "\n"
+        + tiny + "\n"
+        + json.dumps({"argv": tiny.split()}) + "\n"
+        + "euler 0.06\n"          # argparse error: must not kill serve
+        + "serve\n"               # nested serve: rejected
+        + "quit\n"
+        + tiny + "\n"             # after quit: must NOT run
+    ))
+    rc = cli.main(["serve"])
+    assert rc == 0
+    acks = [json.loads(l)["serve"]
+            for l in capsys.readouterr().out.splitlines()
+            if l.startswith('{"serve"')]
+    assert len(acks) == 4
+    assert acks[0]["rc"] == 0 and acks[1]["rc"] == 0
+    assert acks[0]["argv"][0] == "scaled"
+    assert acks[2]["rc"] == 2 and "argparse" in acks[2]["error"]
+    assert acks[3]["rc"] == 2 and "nest" in acks[3]["error"]
+    # The second (warm) run reuses the first run's programs.
+    assert acks[1]["wall_s"] <= acks[0]["wall_s"]
+
+
 def test_cli_observability_wiring(tmp_path, monkeypatch):
     """A gpboi run produces log.log + a dated figures folder with
     report.txt (+ posterior summary for seird) — the reference's
